@@ -1,0 +1,190 @@
+"""Flax attention modules for LeMeViT.
+
+Four attention forms, keyed by the per-stage ``attn_type`` string:
+  "S"  StandardAttention      — fused-QKV MHSA (ref lemevit.py:156-217)
+  "C"  CrossAttention         — meta-token init: q from c, k/v from image
+                                tokens, only c is produced (:425-497)
+  "D"  DualCrossAttention     — two QKV projections; x<-attn(q1,k2,v2),
+                                c<-attn(q2,k1,v1), asymmetric scales (:220-324)
+  "D2" DualCrossAttentionV2   — cheaper: q/v from x, k/v from c, q and k
+                                shared across both directions (:326-423)
+
+``backend`` selects the compute path: "xla" (einsum reference) or "pallas"
+(fused TPU kernels, see lemevit_tpu.attn.pallas_dca). "auto" picks pallas on
+TPU when the shapes qualify, else xla. Both paths are numerically cross-tested.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lemevit_tpu.attn import reference as ref
+from lemevit_tpu.core.layers import trunc_normal_init
+
+Dtype = Any
+
+
+def _dense(features: int, dtype, name: str) -> nn.Dense:
+    return nn.Dense(
+        features,
+        kernel_init=trunc_normal_init(),
+        bias_init=nn.initializers.zeros_init(),
+        dtype=dtype,
+        name=name,
+    )
+
+
+def _use_pallas(backend: str, *seq_lens: int) -> bool:
+    if backend == "xla":
+        return False
+    if backend == "pallas":
+        return True
+    # auto: pallas only on TPU backends, and only for shapes the kernels accept
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except RuntimeError:
+        on_tpu = False
+    return on_tpu
+
+
+def _sdpa(backend: str, q, k, v, scale=None):
+    if _use_pallas(backend, q.shape[2], k.shape[2]):
+        from lemevit_tpu.attn import pallas_mhsa
+        out = pallas_mhsa.sdpa(q, k, v, scale=scale)
+        if out is not None:
+            return out
+    return ref.sdpa(q, k, v, scale=scale)
+
+
+class StandardAttention(nn.Module):
+    """Fused-QKV multi-head self-attention, softmax scale head_dim**-0.5."""
+
+    dim: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    backend: str = "auto"
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, c = x.shape
+        h, d = self.num_heads, c // self.num_heads
+        qkv = _dense(3 * c, self.dtype, "qkv")(x)
+        qkv = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        out = _sdpa(self.backend, q, k, v)
+        out = ref.merge_heads(out)
+        return _dense(c, self.dtype, "proj")(out)
+
+
+class CrossAttention(nn.Module):
+    """Meta-token initializer: c attends to image tokens; returns new c."""
+
+    dim: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    backend: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, c):
+        b, n, ch = x.shape
+        _, m, _ = c.shape
+        h, d = self.num_heads, ch // self.num_heads
+        q = ref.split_heads(_dense(ch, self.dtype, "q")(c), h)
+        kv = _dense(2 * ch, self.dtype, "kv")(x)
+        kv = kv.reshape(b, n, 2, h, d).transpose(2, 0, 3, 1, 4)
+        k, v = kv[0], kv[1]
+        out = _sdpa(self.backend, q, k, v)
+        out = ref.merge_heads(out)
+        return _dense(ch, self.dtype, "proj")(out)
+
+
+class DualCrossAttention(nn.Module):
+    """DCA: image tokens and meta tokens swap query vs key/value roles.
+
+    x <- attn(q1, k2, v2) with scale_x = log_N(M) * C**-0.5
+    c <- attn(q2, k1, v1) with scale_c = C**-0.5
+    (full-embed-dim scales; see attn/reference.py:dca_scales)
+    """
+
+    dim: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    backend: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, c):
+        b, n, ch = x.shape
+        _, m, _ = c.shape
+        h, d = self.num_heads, ch // self.num_heads
+        scale_x, scale_c = ref.dca_scales(n, m, ch)
+
+        qkv1 = _dense(3 * ch, self.dtype, "qkv1")(x)
+        qkv1 = qkv1.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)
+        q1, k1, v1 = qkv1[0], qkv1[1], qkv1[2]
+        qkv2 = _dense(3 * ch, self.dtype, "qkv2")(c)
+        qkv2 = qkv2.reshape(b, m, 3, h, d).transpose(2, 0, 3, 1, 4)
+        q2, k2, v2 = qkv2[0], qkv2[1], qkv2[2]
+
+        if _use_pallas(self.backend, n, m):
+            from lemevit_tpu.attn import pallas_dca
+            pair = pallas_dca.dca(q1, k1, v1, q2, k2, v2,
+                                  scale_x=scale_x, scale_c=scale_c)
+        else:
+            pair = None
+        if pair is None:
+            x_out = ref.sdpa(q1, k2, v2, scale=scale_x)
+            c_out = ref.sdpa(q2, k1, v1, scale=scale_c)
+        else:
+            x_out, c_out = pair
+
+        x_out = _dense(ch, self.dtype, "proj_x")(ref.merge_heads(x_out))
+        c_out = _dense(ch, self.dtype, "proj_c")(ref.merge_heads(c_out))
+        return x_out, c_out
+
+
+class DualCrossAttentionV2(nn.Module):
+    """Cheaper DCA: shared q/k across directions.
+
+    q, v1 from x; k, v2 from c.
+    x <- attn(q, k, v2) with scale_x;  c <- attn(k, q, v1) with scale_c.
+    """
+
+    dim: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    backend: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, c):
+        b, n, ch = x.shape
+        _, m, _ = c.shape
+        h, d = self.num_heads, ch // self.num_heads
+        scale_x, scale_c = ref.dca_scales(n, m, ch)
+
+        qv1 = _dense(2 * ch, self.dtype, "qv1")(x)
+        qv1 = qv1.reshape(b, n, 2, h, d).transpose(2, 0, 3, 1, 4)
+        q, v1 = qv1[0], qv1[1]
+        kv2 = _dense(2 * ch, self.dtype, "kv2")(c)
+        kv2 = kv2.reshape(b, m, 2, h, d).transpose(2, 0, 3, 1, 4)
+        k, v2 = kv2[0], kv2[1]
+
+        if _use_pallas(self.backend, n, m):
+            # v2 maps onto the general DCA form by argument permutation:
+            # q1=q, k1=q, v1=v1 (image side); q2=k, k2=k, v2=v2 (meta side).
+            from lemevit_tpu.attn import pallas_dca
+            pair = pallas_dca.dca(q, q, v1, k, k, v2,
+                                  scale_x=scale_x, scale_c=scale_c)
+        else:
+            pair = None
+        if pair is None:
+            x_out = ref.sdpa(q, k, v2, scale=scale_x)
+            c_out = ref.sdpa(k, q, v1, scale=scale_c)
+        else:
+            x_out, c_out = pair
+
+        x_out = _dense(ch, self.dtype, "proj_x")(ref.merge_heads(x_out))
+        c_out = _dense(ch, self.dtype, "proj_c")(ref.merge_heads(c_out))
+        return x_out, c_out

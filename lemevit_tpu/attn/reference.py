@@ -1,0 +1,62 @@
+"""XLA reference attention: the numerics ground truth for the Pallas kernels.
+
+Plain einsum attention with fp32 softmax. XLA already fuses the scale +
+softmax + matmul chain well at LeMeViT's sequence lengths; the Pallas kernels
+in lemevit_tpu.attn.pallas_dca exist to beat it on the DCA hot path and are
+always tested against these functions.
+
+Scale semantics (parity with /root/reference/models/lemevit.py):
+  - standard / cross attention: head_dim ** -0.5 (:54-63 default scale)
+  - dual cross-attention: *full embed dim* based, asymmetric —
+      scale_x = log_N(M) * C**-0.5, scale_c = C**-0.5   (:252-256, :357-361)
+    where N = #image tokens, M = #meta tokens, C = embed dim.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
+         scale: Optional[float] = None) -> jax.Array:
+    """Scaled dot-product attention over (B, H, N, d) tensors.
+
+    Softmax runs in fp32 regardless of input dtype (bf16-safe), output is
+    cast back to the input dtype.
+    """
+    d = q.shape[-1]
+    scale = d ** -0.5 if scale is None else scale
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits.astype(jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", probs.astype(v.dtype), v)
+    return out.astype(q.dtype)
+
+
+def dca_scales(n_tokens: int, m_tokens: int, dim: int) -> tuple:
+    """Asymmetric DCA softmax scales.
+
+    scale_x (image tokens attend to meta tokens) = log_N(M) * C**-0.5
+    scale_c (meta tokens attend to image tokens) = C**-0.5
+    N and M are static under jit, so this is trace-time Python math.
+    """
+    base = dim ** -0.5
+    scale_x = math.log(m_tokens, n_tokens) * base
+    return scale_x, base
+
+
+def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """(B, N, H*d) -> (B, H, N, d)."""
+    b, n, c = x.shape
+    x = x.reshape(b, n, num_heads, c // num_heads)
+    return x.transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    """(B, H, N, d) -> (B, N, H*d)."""
+    b, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
