@@ -1,0 +1,128 @@
+"""Prefetching host->device loader.
+
+Replaces torch DataLoader worker processes + the CUDA PrefetchLoader
+(/root/reference/main.py:395-448): a thread pool decodes/augments into
+pinned numpy batches while the device computes; batches cross as uint8 NHWC
+(4x less PCIe/ICI traffic than float32) and are normalized on device
+(see data/mixup.py). ``device_prefetch`` keeps N batches in flight.
+
+Multi-host: each process reads its own shard (rank-strided indices), the
+same convention as torch DistributedSampler — but sharding here is by host,
+with per-host batches concatenated into the global jit batch by pjit.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+try:
+    import jax
+    HAS_JAX = True
+except ImportError:  # pragma: no cover
+    HAS_JAX = False
+
+
+class Loader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_threads: int = 4,
+        seed: int = 0,
+        rank: int = 0,
+        world_size: int = 1,
+        collate_fn: Optional[Callable] = None,
+        device_put: bool = False,
+        device_prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_threads = max(1, num_threads)
+        self.seed = seed
+        self.rank = rank
+        self.world_size = world_size
+        self.collate_fn = collate_fn or default_collate
+        self.device_put = device_put and HAS_JAX
+        self.device_prefetch = device_prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset) // self.world_size
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            idx = rng.permutation(n)
+        else:
+            idx = np.arange(n)
+        return idx[self.rank::self.world_size]
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        idx = self._indices()
+        nb = len(self)
+        sample_q: "queue.Queue" = queue.Queue(maxsize=self.num_threads * 8)
+        done = object()
+
+        def producer(tid: int):
+            for bi in range(tid, nb, self.num_threads):
+                batch_idx = idx[bi * self.batch_size:(bi + 1) * self.batch_size]
+                samples = [self.dataset[int(i)] for i in batch_idx]
+                sample_q.put((bi, self.collate_fn(samples)))
+            sample_q.put(done)
+
+        threads = [threading.Thread(target=producer, args=(t,), daemon=True)
+                   for t in range(self.num_threads)]
+        for t in threads:
+            t.start()
+
+        # reorder into sequential batches
+        pending: Dict[int, Any] = {}
+        finished = 0
+        want = 0
+        inflight = []
+        while finished < self.num_threads or pending or want < nb:
+            if want >= nb:
+                break
+            if want in pending:
+                batch = pending.pop(want)
+                want += 1
+                if self.device_put:
+                    batch = {k: jax.device_put(v) for k, v in batch.items()}
+                    inflight.append(batch)
+                    if len(inflight) > self.device_prefetch:
+                        yield inflight.pop(0)
+                else:
+                    yield batch
+                continue
+            item = sample_q.get()
+            if item is done:
+                finished += 1
+                continue
+            pending[item[0]] = item[1]
+        yield from inflight
+
+
+def default_collate(samples) -> Dict[str, np.ndarray]:
+    imgs, labels = zip(*samples)
+    imgs = np.stack([np.asarray(im, dtype=np.uint8) for im in imgs])
+    return {"image": imgs, "label": np.asarray(labels, dtype=np.int32)}
+
+
+def create_loader(dataset, batch_size: int, is_training: bool = False,
+                  **kwargs) -> Loader:
+    return Loader(dataset, batch_size, shuffle=is_training,
+                  drop_last=is_training, **kwargs)
