@@ -1,0 +1,295 @@
+"""Training CLI — the reference main.py contract, TPU-native.
+
+Replaces the torchrun + timm stack (/root/reference/main.py:80-650):
+  - two-stage YAML+argparse config (utils/parser.py)
+  - pjit train step over a ("data","model") mesh; gradient psum implicit
+  - bf16 compute, optax AdamW + warmup-cosine with linear LR/batch scaling
+  - mixup/cutmix + random-erasing on device, label smoothing
+  - EMA, per-stage remat, orbax checkpoints (top-k by eval metric),
+    auto-resume, summary.csv, args.yaml reproducibility dump
+
+Usage:
+  python -m lemevit_tpu.cli.train --config configs/lemevit_tiny.yaml \
+      --data-dir /data/imagenet --output ./runs/tiny
+Smoke mode (synthetic data, 2 epochs x 4 steps):
+  python -m lemevit_tpu.cli.train --synthetic --epochs 2 --steps-per-epoch 4
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="lemevit_tpu training")
+    # data
+    p.add_argument("--data-dir", default="")
+    p.add_argument("--dataset", default="imagefolder")
+    p.add_argument("--train-split", default="train")
+    p.add_argument("--val-split", default="validation")
+    p.add_argument("--num-classes", type=int, default=1000)
+    p.add_argument("--img-size", type=int, default=224)
+    p.add_argument("--crop-pct", type=float, default=0.9)
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--synthetic", action="store_true")
+    # model
+    p.add_argument("--model", default="lemevit_tiny")
+    p.add_argument("--drop-path", type=float, default=0.15)
+    p.add_argument("--remat-stages", type=int, nargs="*", default=[])
+    p.add_argument("--bf16", action="store_true", default=None)
+    p.add_argument("--initial-checkpoint", default="")
+    # optimization
+    p.add_argument("--batch-size", type=int, default=128,
+                   help="per-process batch size")
+    p.add_argument("--grad-accum-steps", type=int, default=1)
+    p.add_argument("--lr-base", type=float, default=5e-4)
+    p.add_argument("--lr-base-size", type=int, default=512)
+    p.add_argument("--lr-base-scale", default="linear",
+                   choices=["linear", "sqrt", "none"])
+    p.add_argument("--warmup-epochs", type=int, default=5)
+    p.add_argument("--warmup-lr", type=float, default=1e-6)
+    p.add_argument("--min-lr", type=float, default=1e-5)
+    p.add_argument("--epochs", type=int, default=280)
+    p.add_argument("--weight-decay", type=float, default=0.05)
+    p.add_argument("--clip-grad", type=float, default=None)
+    p.add_argument("--smoothing", type=float, default=0.1)
+    p.add_argument("--mixup", type=float, default=0.8)
+    p.add_argument("--cutmix", type=float, default=1.0)
+    p.add_argument("--mixup-prob", type=float, default=1.0)
+    p.add_argument("--reprob", type=float, default=0.25)
+    p.add_argument("--aa", default="rand-m9-mstd0.5-inc1")
+    p.add_argument("--hflip", type=float, default=0.5)
+    p.add_argument("--model-ema", action="store_true", default=True)
+    p.add_argument("--model-ema-decay", type=float, default=0.996)
+    # infra
+    p.add_argument("--mesh-model-axis", type=int, default=1)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--output", default="./output")
+    p.add_argument("--experiment", default="")
+    p.add_argument("--checkpoint-hist", type=int, default=3)
+    p.add_argument("--resume", default="")
+    p.add_argument("--no-auto-resume", action="store_true")
+    p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--eval-interval", type=int, default=1)
+    p.add_argument("--steps-per-epoch", type=int, default=0,
+                   help="override (mainly for synthetic smoke runs)")
+    return p
+
+
+def main(argv=None):
+    from lemevit_tpu.utils.parser import parse_args_with_config
+
+    args, args_text = parse_args_with_config(build_parser(), argv)
+    return train(args, args_text)
+
+
+def train(args, args_text: str = ""):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lemevit_tpu.data import (build_eval_transform, build_train_transform,
+                                  create_dataset, create_loader)
+    from lemevit_tpu.data.mixup import mixup_cutmix, normalize, random_erasing
+    from lemevit_tpu.models import create_model
+    from lemevit_tpu.parallel import MeshConfig, build_mesh, shard_params
+    from lemevit_tpu.train import (build_lr_schedule, build_optimizer,
+                                   create_train_state, make_train_step)
+    from lemevit_tpu.train.checkpoint import (auto_resume, load_pretrained,
+                                              restore_checkpoint,
+                                              save_checkpoint)
+    from lemevit_tpu.train.steps import cross_entropy_loss, eval_metrics
+    from lemevit_tpu.utils.logging import setup_logging
+    from lemevit_tpu.utils.meters import MetricTracker
+
+    out_dir = os.path.join(args.output, args.experiment or args.model)
+    os.makedirs(out_dir, exist_ok=True)
+    logger = setup_logging(os.path.join(out_dir, "train.log"))
+    if args_text:
+        with open(os.path.join(out_dir, "args.yaml"), "w") as f:
+            f.write(args_text)
+
+    on_tpu = jax.default_backend() == "tpu"
+    bf16 = args.bf16 if args.bf16 is not None else on_tpu
+    n_dev = len(jax.devices())
+    mesh = build_mesh(MeshConfig(model=args.mesh_model_axis))
+    global_batch = args.batch_size * mesh.shape["data"] \
+        * args.grad_accum_steps
+    logger.info("devices=%d mesh=%s global_batch=%d",
+                n_dev, dict(mesh.shape), global_batch)
+
+    # ---------------- data
+    if args.synthetic:
+        train_ds = create_dataset("synthetic", num_samples=global_batch * 8,
+                                  image_size=args.img_size,
+                                  num_classes=args.num_classes)
+        val_ds = create_dataset("synthetic", num_samples=global_batch * 2,
+                                image_size=args.img_size,
+                                num_classes=args.num_classes)
+    else:
+        train_ds = create_dataset(
+            args.dataset, args.data_dir, split=args.train_split,
+            transform=build_train_transform(
+                args.img_size, hflip=args.hflip, auto_augment=args.aa))
+        val_ds = create_dataset(
+            args.dataset, args.data_dir, split=args.val_split,
+            transform=build_eval_transform(args.img_size, args.crop_pct))
+    device_batch = args.batch_size * mesh.shape["data"]
+    train_loader = create_loader(train_ds, device_batch, is_training=True,
+                                 num_threads=args.workers, seed=args.seed)
+    val_loader = create_loader(val_ds, device_batch, is_training=False,
+                               num_threads=args.workers)
+    steps_per_epoch = args.steps_per_epoch or max(len(train_loader), 1)
+
+    # ---------------- model/optimizer/state
+    model = create_model(
+        args.model, num_classes=args.num_classes,
+        drop_path_rate=args.drop_path,
+        remat_stages=tuple(args.remat_stages),
+        dtype=jnp.bfloat16 if bf16 else jnp.float32)
+    sched = build_lr_schedule(
+        base_lr=args.lr_base, global_batch_size=global_batch,
+        steps_per_epoch=steps_per_epoch, epochs=args.epochs,
+        warmup_epochs=args.warmup_epochs, warmup_lr=args.warmup_lr,
+        min_lr=args.min_lr, scaling=args.lr_base_scale)
+    tx = build_optimizer(sched, weight_decay=args.weight_decay,
+                         clip_grad=args.clip_grad,
+                         grad_accum_steps=args.grad_accum_steps)
+
+    with mesh:
+        state = create_train_state(
+            model, jax.random.PRNGKey(args.seed),
+            (2, args.img_size, args.img_size, 3), tx,
+            ema_decay=args.model_ema_decay if args.model_ema else 0.0)
+        if args.initial_checkpoint:
+            variables = load_pretrained(model, args.initial_checkpoint)
+            state = state.replace(
+                params=jax.tree.map(jnp.asarray, variables["params"]),
+                batch_stats=jax.tree.map(
+                    jnp.asarray, variables.get("batch_stats", {})))
+        ckpt_dir = os.path.join(out_dir, "checkpoints")
+        if args.resume:
+            state = restore_checkpoint(args.resume, state)
+        elif not args.no_auto_resume:
+            state, resumed = auto_resume(ckpt_dir, state)
+            if resumed:
+                logger.info("auto-resumed at step %d", int(state.step))
+        # place the full state on the mesh (replicated), then overlay the
+        # tensor-parallel layouts; mixed committed placements break jit
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        if mesh.shape.get("model", 1) > 1:
+            state = state.replace(params=shard_params(state.params, mesh))
+
+        batch_sharding = NamedSharding(mesh, P("data"))
+        base_train_step = make_train_step(label_smoothing=0.0)  # folded below
+
+        def full_train_step(state, batch, rng):
+            aug_rng, step_rng = jax.random.split(
+                jax.random.fold_in(rng, state.step))
+            images = normalize(batch["image"])
+            if args.reprob > 0:
+                images = random_erasing(
+                    jax.random.fold_in(aug_rng, 1), images, prob=args.reprob)
+            if args.mixup > 0 or args.cutmix > 0:
+                images, targets = mixup_cutmix(
+                    aug_rng, images, batch["label"], args.num_classes,
+                    mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
+                    prob=args.mixup_prob, label_smoothing=args.smoothing)
+            else:
+                targets = jax.nn.one_hot(batch["label"], args.num_classes)
+                if args.smoothing:
+                    targets = (targets * (1 - args.smoothing)
+                               + args.smoothing / args.num_classes)
+            return base_train_step(
+                state, {"image": images, "label": targets}, step_rng)
+
+        train_step = jax.jit(full_train_step, donate_argnums=(0,))
+
+        @jax.jit
+        def val_step(variables, images_u8, labels):
+            logits = model.apply(variables, normalize(images_u8), train=False)
+            return eval_metrics(logits, labels)
+
+        rng = jax.random.PRNGKey(args.seed + 1)
+        summary_path = os.path.join(out_dir, "summary.csv")
+        best_top1 = -1.0
+        start_epoch = int(state.step) // steps_per_epoch
+        for epoch in range(start_epoch, args.epochs):
+            train_loader.set_epoch(epoch)
+            tracker = MetricTracker()
+            t_ep = time.perf_counter()
+            it = iter(train_loader)
+            for step_i in range(steps_per_epoch):
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    it = iter(train_loader)
+                    batch = next(it)
+                batch = {
+                    "image": jax.device_put(batch["image"], batch_sharding),
+                    "label": jax.device_put(batch["label"], batch_sharding),
+                }
+                state, metrics = train_step(state, batch, rng)
+                if step_i % args.log_interval == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m["lr"] = float(sched(int(state.step)))
+                    tracker.update(m)
+                    logger.info(
+                        "epoch %d step %d/%d loss %.4f gnorm %.2f lr %.2e",
+                        epoch, step_i, steps_per_epoch, m["loss"],
+                        m["grad_norm"], m["lr"])
+            epoch_time = time.perf_counter() - t_ep
+
+            eval_stats = {}
+            if (epoch + 1) % args.eval_interval == 0:
+                for tag, variables in [
+                        ("", state.variables),
+                        ("ema_", state.ema_variables
+                         if state.ema_params is not None else None)]:
+                    if variables is None:
+                        continue
+                    tot = {"top1_sum": 0.0, "top5_sum": 0.0, "count": 0}
+                    for batch in val_loader:
+                        if batch["image"].shape[0] != device_batch:
+                            continue
+                        m = val_step(variables, batch["image"],
+                                     batch["label"])
+                        tot["top1_sum"] += float(m["top1_sum"])
+                        tot["top5_sum"] += float(m["top5_sum"])
+                        tot["count"] += int(m["count"])
+                    if tot["count"]:
+                        eval_stats[f"{tag}top1"] = (
+                            100 * tot["top1_sum"] / tot["count"])
+                        eval_stats[f"{tag}top5"] = (
+                            100 * tot["top5_sum"] / tot["count"])
+                logger.info("epoch %d eval %s", epoch, json.dumps(
+                    {k: round(v, 3) for k, v in eval_stats.items()}))
+
+            metric = max(eval_stats.get("top1", -1.0),
+                         eval_stats.get("ema_top1", -1.0))
+            save_checkpoint(ckpt_dir, state, metric=metric,
+                            max_history=args.checkpoint_hist)
+            best_top1 = max(best_top1, metric)
+
+            row = {"epoch": epoch,
+                   "train_loss": tracker.summary().get("loss", float("nan")),
+                   "epoch_time_s": round(epoch_time, 1), **{
+                       k: round(v, 4) for k, v in eval_stats.items()}}
+            write_header = not os.path.exists(summary_path)
+            with open(summary_path, "a", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=list(row))
+                if write_header:
+                    w.writeheader()
+                w.writerow(row)
+
+        logger.info("done; best top1 %.3f", best_top1)
+        return {"best_top1": best_top1, "steps": int(state.step)}
+
+
+if __name__ == "__main__":
+    main()

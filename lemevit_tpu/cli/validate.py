@@ -1,0 +1,128 @@
+"""Standalone evaluation CLI (the reference validate.py contract:
+model + checkpoint -> top-1/top-5/loss, csv/json results, --result JSON to
+stdout; /root/reference/validate.py:167-503).
+
+Usage:
+  python -m lemevit_tpu.cli.validate --model lemevit_tiny \
+      --data-dir /data/imagenet --dataset imagefolder \
+      --checkpoint weights.pth --batch-size 256
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="lemevit_tpu validation")
+    p.add_argument("--model", default="lemevit_tiny")
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--use-ema", action="store_true")
+    p.add_argument("--data-dir", default="")
+    p.add_argument("--dataset", default="imagefolder")
+    p.add_argument("--split", default="validation")
+    p.add_argument("--num-classes", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--img-size", type=int, default=224)
+    p.add_argument("--crop-pct", type=float, default=0.9)
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--bf16", action="store_true", default=None)
+    p.add_argument("--results-file", default="")
+    p.add_argument("--synthetic", action="store_true",
+                   help="synthetic data smoke mode")
+    p.add_argument("--max-batches", type=int, default=0)
+    return p
+
+
+def validate(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from lemevit_tpu.data import build_eval_transform, create_dataset, \
+        create_loader
+    from lemevit_tpu.data.mixup import normalize
+    from lemevit_tpu.models import create_model
+    from lemevit_tpu.train.checkpoint import load_pretrained
+    from lemevit_tpu.train.steps import eval_metrics
+
+    on_tpu = jax.default_backend() == "tpu"
+    bf16 = args.bf16 if args.bf16 is not None else on_tpu
+    model = create_model(args.model, num_classes=args.num_classes,
+                         dtype=jnp.bfloat16 if bf16 else jnp.float32)
+
+    if args.checkpoint:
+        variables = load_pretrained(model, args.checkpoint,
+                                    use_ema=args.use_ema)
+        variables = jax.tree.map(jnp.asarray, variables)
+    else:
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, args.img_size, args.img_size, 3), jnp.float32))
+
+    if args.synthetic:
+        dataset = create_dataset("synthetic", num_samples=4 * args.batch_size,
+                                 image_size=args.img_size,
+                                 num_classes=args.num_classes)
+    else:
+        dataset = create_dataset(
+            args.dataset, args.data_dir, split=args.split,
+            transform=build_eval_transform(args.img_size, args.crop_pct))
+    loader = create_loader(dataset, args.batch_size, is_training=False,
+                           num_threads=args.workers)
+
+    @jax.jit
+    def step(variables, images_u8, labels):
+        logits = model.apply(variables, normalize(images_u8), train=False)
+        return eval_metrics(logits, labels)
+
+    totals = {"loss_sum": 0.0, "top1_sum": 0.0, "top5_sum": 0.0, "count": 0}
+    t0 = time.perf_counter()
+    n_batches = 0
+    for batch in loader:
+        n = batch["image"].shape[0]
+        if n != args.batch_size:  # pad the ragged tail to keep shapes static
+            pad = args.batch_size - n
+            batch["image"] = np.concatenate(
+                [batch["image"], np.zeros_like(batch["image"][:pad])])
+            batch["label"] = np.concatenate(
+                [batch["label"], np.full(pad, -1, np.int32)])
+        m = step(variables, batch["image"], batch["label"])
+        m = {k: float(v) for k, v in m.items()}
+        # padded rows have label -1: they can never match top-k, but fix count
+        totals["loss_sum"] += m["loss_sum"] * n / args.batch_size
+        totals["top1_sum"] += m["top1_sum"]
+        totals["top5_sum"] += m["top5_sum"]
+        totals["count"] += n
+        n_batches += 1
+        if args.max_batches and n_batches >= args.max_batches:
+            break
+    dt = time.perf_counter() - t0
+
+    cnt = max(totals["count"], 1)
+    results = {
+        "model": args.model,
+        "top1": round(100.0 * totals["top1_sum"] / cnt, 4),
+        "top5": round(100.0 * totals["top5_sum"] / cnt, 4),
+        "loss": round(totals["loss_sum"] / cnt, 4),
+        "img_size": args.img_size,
+        "crop_pct": args.crop_pct,
+        "samples_per_sec": round(cnt / dt, 2),
+    }
+    return results
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    results = validate(args)
+    if args.results_file:
+        with open(args.results_file, "w") as f:
+            json.dump(results, f, indent=2)
+    print(f"--result\n{json.dumps(results, indent=2)}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,11 @@ _VARIANT_CFGS: Dict[str, Dict[str, Any]] = {
         depth=(2, 2, 4, 2), embed_dim=(96, 192, 320, 384),
         head_dim=32, mlp_ratios=(4, 4, 4, 4),
         attn_type=("S", "S", "S", "S"), queries_len=16),
+    # test/smoke-only micro config (not a reference variant)
+    "lemevit_micro": dict(
+        depth=(1, 1, 1, 1, 1), embed_dim=(16, 16, 32, 32, 32),
+        head_dim=8, mlp_ratios=(2, 2, 2, 2, 2),
+        attn_type=("C", "D", "D", "S", "S"), queries_len=4),
 }
 
 # feature-pyramid channels consumed by downstream heads (stages 1..4)
@@ -104,3 +109,8 @@ def lemevit_tiny_v2(**kwargs) -> LeMeViT:
 @register_model
 def vit_tiny(**kwargs) -> LeMeViT:
     return _make("vit_tiny", **kwargs)
+
+
+@register_model
+def lemevit_micro(**kwargs) -> LeMeViT:
+    return _make("lemevit_micro", **kwargs)

@@ -1,0 +1,81 @@
+"""CLI smoke tests: train (synthetic, 1 epoch), validate, benchmark — all on
+tiny shapes, CPU."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_train_cli_synthetic(tmp_path):
+    from lemevit_tpu.cli.train import main
+    out = main([
+        "--synthetic", "--model", "lemevit_micro", "--img-size", "32",
+        "--batch-size", "2", "--num-classes", "5", "--epochs", "2",
+        "--steps-per-epoch", "2", "--warmup-epochs", "1",
+        "--output", str(tmp_path), "--log-interval", "1",
+        "--workers", "1",
+    ])
+    assert out["steps"] == 4
+    run_dir = tmp_path / "lemevit_micro"
+    assert (run_dir / "summary.csv").exists()
+    assert (run_dir / "args.yaml").exists()
+    ckpts = os.listdir(run_dir / "checkpoints")
+    assert any(c.startswith("checkpoint-") for c in ckpts)
+
+
+def test_train_cli_resume(tmp_path):
+    from lemevit_tpu.cli.train import main
+    args = [
+        "--synthetic", "--model", "lemevit_micro", "--img-size", "32",
+        "--batch-size", "2", "--num-classes", "5",
+        "--steps-per-epoch", "2", "--warmup-epochs", "1",
+        "--output", str(tmp_path), "--workers", "1",
+    ]
+    main(args + ["--epochs", "1"])
+    out = main(args + ["--epochs", "2"])  # auto-resume from epoch 1
+    assert out["steps"] == 4
+
+
+def test_validate_cli_synthetic(capsys):
+    from lemevit_tpu.cli.validate import main
+    res = main([
+        "--synthetic", "--model", "lemevit_micro", "--img-size", "32",
+        "--batch-size", "4", "--num-classes", "5", "--max-batches", "2",
+        "--workers", "1",
+    ])
+    assert 0.0 <= res["top1"] <= 100.0
+    out = capsys.readouterr().out
+    assert "--result" in out
+    json.loads(out.split("--result\n")[1])
+
+
+def test_benchmark_cli(capsys):
+    from lemevit_tpu.cli.benchmark import main
+    res = main([
+        "--model", "lemevit_micro", "--bench", "both", "--batch-size", "2",
+        "--img-size", "32", "--num-classes", "5",
+        "--num-warm-iter", "1", "--num-bench-iter", "2",
+    ])
+    assert res["inference"]["samples_per_sec"] > 0
+    assert res["train"]["samples_per_sec"] > 0
+    assert res["param_count"] > 0.01
+
+
+def test_config_yaml_two_stage(tmp_path):
+    import argparse
+    from lemevit_tpu.utils.parser import parse_args_with_config
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="a")
+    p.add_argument("--lr", type=float, default=1.0)
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text("model: b\nlr: 0.5\n")
+    # YAML overrides defaults; CLI overrides YAML
+    args, text = parse_args_with_config(p, ["-c", str(cfg), "--lr", "0.25"])
+    assert args.model == "b" and args.lr == 0.25
+    assert "model: b" in text
+    # unknown config keys rejected
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("nope: 1\n")
+    with pytest.raises(ValueError):
+        parse_args_with_config(p, ["-c", str(bad)])
