@@ -1,0 +1,124 @@
+"""Axis-aligned box ops: IoU, greedy NMS, soft-NMS, class-batched NMS.
+
+TPU-native replacements for the reference's nms pack
+(object_detection/mmdet/ops/nms, 492 LoC C++/CUDA):
+  - static shapes: callers pass fixed-size (padded) box arrays; outputs are
+    keep masks / padded index lists + valid counts, never dynamic sizes.
+  - greedy NMS is a lax.fori_loop whose body does a vectorized IoU row —
+    O(N^2) work on the VPU, no bitmask kernel needed at detection's N.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def box_iou(a: jax.Array, b: jax.Array, mode: str = "iou",
+            eps: float = 1e-6) -> jax.Array:
+    """Pairwise IoU of xyxy boxes: a (N,4), b (M,4) -> (N,M).
+    mode 'iof' = intersection over first (a) area."""
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    if mode == "iof":
+        union = area_a[:, None]
+    else:
+        union = area_a[:, None] + area_b[None, :] - inter
+    return inter / jnp.maximum(union, eps)
+
+
+def nms(boxes: jax.Array, scores: jax.Array, iou_threshold: float = 0.5,
+        score_threshold: float = float("-inf")) -> jax.Array:
+    """Greedy NMS. Returns a bool keep mask (N,) aligned with the inputs.
+
+    Ties are broken by score order; boxes below score_threshold never kept.
+    """
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    b = boxes[order]
+    s = scores[order]
+    valid = s > score_threshold
+    iou = box_iou(b, b)
+
+    def body(i, keep):
+        # keep[i] if no earlier kept box overlaps it beyond threshold
+        sup = (iou[:, i] > iou_threshold) & keep & (jnp.arange(n) < i)
+        ki = valid[i] & ~sup.any()
+        return keep.at[i].set(ki)
+
+    keep_sorted = lax.fori_loop(0, n, body, jnp.zeros((n,), bool))
+    # scatter back to input order
+    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
+    return keep
+
+
+def nms_indices(boxes: jax.Array, scores: jax.Array,
+                iou_threshold: float = 0.5, max_outputs: Optional[int] = None
+                ) -> Tuple[jax.Array, jax.Array]:
+    """NMS returning (padded indices sorted by score, valid count)."""
+    n = boxes.shape[0]
+    k = max_outputs or n
+    keep = nms(boxes, scores, iou_threshold)
+    masked_scores = jnp.where(keep, scores, -jnp.inf)
+    idx = jnp.argsort(-masked_scores)[:k]
+    count = jnp.minimum(keep.sum(), k)
+    return idx, count
+
+
+def soft_nms(boxes: jax.Array, scores: jax.Array,
+             iou_threshold: float = 0.3, sigma: float = 0.5,
+             method: str = "linear", score_threshold: float = 1e-3
+             ) -> jax.Array:
+    """Soft-NMS (linear / gaussian decay). Returns decayed scores (N,);
+    callers threshold at score_threshold."""
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    b = boxes[order]
+    s0 = scores[order]
+    iou = box_iou(b, b)
+
+    def body(i, s):
+        # pick the current max among not-yet-processed (>= i by construction
+        # when scores only decay); decay all later boxes against box i
+        ov = iou[i]
+        if method == "gaussian":
+            decay = jnp.exp(-(ov ** 2) / sigma)
+        else:
+            decay = jnp.where(ov > iou_threshold, 1.0 - ov, 1.0)
+        decay = decay.at[i].set(1.0)
+        later = jnp.arange(n) > i
+        return jnp.where(later, s * decay, s)
+
+    s = lax.fori_loop(0, n, body, s0)
+    out = jnp.zeros((n,), scores.dtype).at[order].set(s)
+    return jnp.where(out > score_threshold, out, 0.0)
+
+
+def batched_nms(boxes: jax.Array, scores: jax.Array, idxs: jax.Array,
+                iou_threshold: float = 0.5) -> jax.Array:
+    """Class-aware NMS via the coordinate-offset trick (boxes of different
+    classes never overlap). Returns keep mask (N,)."""
+    max_coord = boxes.max() + 1.0
+    offsets = idxs.astype(boxes.dtype)[:, None] * max_coord
+    shifted = boxes + offsets
+    return nms(shifted, scores, iou_threshold)
+
+
+def nms_match(boxes: jax.Array, scores: jax.Array,
+              iou_threshold: float = 0.5) -> jax.Array:
+    """For each box, the index of the kept box that suppressed it (itself if
+    kept). Equivalent grouping info to the reference's nms_match."""
+    n = boxes.shape[0]
+    keep = nms(boxes, scores, iou_threshold)
+    iou = box_iou(boxes, boxes)
+    # among kept boxes overlapping > thr, pick the highest-scoring one
+    cand = (iou > iou_threshold) & keep[None, :]
+    cand = cand | (jnp.eye(n, dtype=bool) & keep[None, :])
+    cand_scores = jnp.where(cand, scores[None, :], -jnp.inf)
+    return jnp.argmax(cand_scores, axis=1)
