@@ -9,6 +9,10 @@ Four attention forms, keyed by the per-stage ``attn_type`` string:
   "D2" DualCrossAttentionV2   — cheaper: q/v from x, k/v from c, q and k
                                 shared across both directions (:326-423)
 
+TPU layout policy: everything stays in (B, N, H, d) — the head axis rides as
+a dot_general batch dim and the qkv tensor is never transposed (saves two
+full HBM round-trips per attention vs. the (B,H,N,d) layout).
+
 ``backend`` selects the compute path: "xla" (einsum reference) or "pallas"
 (fused TPU kernels, see lemevit_tpu.attn.pallas_dca). "auto" picks pallas on
 TPU when the shapes qualify, else xla. Both paths are numerically cross-tested.
@@ -37,26 +41,25 @@ def _dense(features: int, dtype, name: str) -> nn.Dense:
     )
 
 
-def _use_pallas(backend: str, *seq_lens: int) -> bool:
+def _use_pallas(backend: str) -> bool:
     if backend == "xla":
         return False
     if backend == "pallas":
         return True
-    # auto: pallas only on TPU backends, and only for shapes the kernels accept
     try:
-        on_tpu = jax.default_backend() == "tpu"
+        return jax.default_backend() == "tpu"
     except RuntimeError:
-        on_tpu = False
-    return on_tpu
+        return False
 
 
 def _sdpa(backend: str, q, k, v, scale=None):
-    if _use_pallas(backend, q.shape[2], k.shape[2]):
+    """q/k/v in (B, N, H, d)."""
+    if _use_pallas(backend):
         from lemevit_tpu.attn import pallas_mhsa
         out = pallas_mhsa.sdpa(q, k, v, scale=scale)
         if out is not None:
             return out
-    return ref.sdpa(q, k, v, scale=scale)
+    return ref.sdpa_bnhd(q, k, v, scale=scale)
 
 
 class StandardAttention(nn.Module):
@@ -71,11 +74,9 @@ class StandardAttention(nn.Module):
     def __call__(self, x):
         b, n, c = x.shape
         h, d = self.num_heads, c // self.num_heads
-        qkv = _dense(3 * c, self.dtype, "qkv")(x)
-        qkv = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        out = _sdpa(self.backend, q, k, v)
-        out = ref.merge_heads(out)
+        qkv = _dense(3 * c, self.dtype, "qkv")(x).reshape(b, n, 3, h, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        out = _sdpa(self.backend, q, k, v).reshape(b, n, c)
         return _dense(c, self.dtype, "proj")(out)
 
 
@@ -92,12 +93,10 @@ class CrossAttention(nn.Module):
         b, n, ch = x.shape
         _, m, _ = c.shape
         h, d = self.num_heads, ch // self.num_heads
-        q = ref.split_heads(_dense(ch, self.dtype, "q")(c), h)
-        kv = _dense(2 * ch, self.dtype, "kv")(x)
-        kv = kv.reshape(b, n, 2, h, d).transpose(2, 0, 3, 1, 4)
-        k, v = kv[0], kv[1]
-        out = _sdpa(self.backend, q, k, v)
-        out = ref.merge_heads(out)
+        q = _dense(ch, self.dtype, "q")(c).reshape(b, m, h, d)
+        kv = _dense(2 * ch, self.dtype, "kv")(x).reshape(b, n, 2, h, d)
+        k, v = kv[:, :, 0], kv[:, :, 1]
+        out = _sdpa(self.backend, q, k, v).reshape(b, m, ch)
         return _dense(ch, self.dtype, "proj")(out)
 
 
@@ -121,27 +120,24 @@ class DualCrossAttention(nn.Module):
         h, d = self.num_heads, ch // self.num_heads
         scale_x, scale_c = ref.dca_scales(n, m, ch)
 
-        qkv1 = _dense(3 * ch, self.dtype, "qkv1")(x)
-        qkv1 = qkv1.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)
-        q1, k1, v1 = qkv1[0], qkv1[1], qkv1[2]
-        qkv2 = _dense(3 * ch, self.dtype, "qkv2")(c)
-        qkv2 = qkv2.reshape(b, m, 3, h, d).transpose(2, 0, 3, 1, 4)
-        q2, k2, v2 = qkv2[0], qkv2[1], qkv2[2]
+        qkv1 = _dense(3 * ch, self.dtype, "qkv1")(x).reshape(b, n, 3, h, d)
+        q1, k1, v1 = qkv1[:, :, 0], qkv1[:, :, 1], qkv1[:, :, 2]
+        qkv2 = _dense(3 * ch, self.dtype, "qkv2")(c).reshape(b, m, 3, h, d)
+        q2, k2, v2 = qkv2[:, :, 0], qkv2[:, :, 1], qkv2[:, :, 2]
 
-        if _use_pallas(self.backend, n, m):
+        pair = None
+        if _use_pallas(self.backend):
             from lemevit_tpu.attn import pallas_dca
             pair = pallas_dca.dca(q1, k1, v1, q2, k2, v2,
                                   scale_x=scale_x, scale_c=scale_c)
-        else:
-            pair = None
         if pair is None:
-            x_out = ref.sdpa(q1, k2, v2, scale=scale_x)
-            c_out = ref.sdpa(q2, k1, v1, scale=scale_c)
+            x_out = ref.sdpa_bnhd(q1, k2, v2, scale=scale_x)
+            c_out = ref.sdpa_bnhd(q2, k1, v1, scale=scale_c)
         else:
             x_out, c_out = pair
 
-        x_out = _dense(ch, self.dtype, "proj_x")(ref.merge_heads(x_out))
-        c_out = _dense(ch, self.dtype, "proj_c")(ref.merge_heads(c_out))
+        x_out = _dense(ch, self.dtype, "proj_x")(x_out.reshape(b, n, ch))
+        c_out = _dense(ch, self.dtype, "proj_c")(c_out.reshape(b, m, ch))
         return x_out, c_out
 
 
@@ -164,27 +160,24 @@ class DualCrossAttentionV2(nn.Module):
         h, d = self.num_heads, ch // self.num_heads
         scale_x, scale_c = ref.dca_scales(n, m, ch)
 
-        qv1 = _dense(2 * ch, self.dtype, "qv1")(x)
-        qv1 = qv1.reshape(b, n, 2, h, d).transpose(2, 0, 3, 1, 4)
-        q, v1 = qv1[0], qv1[1]
-        kv2 = _dense(2 * ch, self.dtype, "kv2")(c)
-        kv2 = kv2.reshape(b, m, 2, h, d).transpose(2, 0, 3, 1, 4)
-        k, v2 = kv2[0], kv2[1]
+        qv1 = _dense(2 * ch, self.dtype, "qv1")(x).reshape(b, n, 2, h, d)
+        q, v1 = qv1[:, :, 0], qv1[:, :, 1]
+        kv2 = _dense(2 * ch, self.dtype, "kv2")(c).reshape(b, m, 2, h, d)
+        k, v2 = kv2[:, :, 0], kv2[:, :, 1]
 
-        if _use_pallas(self.backend, n, m):
+        pair = None
+        if _use_pallas(self.backend):
             # v2 maps onto the general DCA form by argument permutation:
             # q1=q, k1=q, v1=v1 (image side); q2=k, k2=k, v2=v2 (meta side).
             from lemevit_tpu.attn import pallas_dca
             pair = pallas_dca.dca(q, q, v1, k, k, v2,
                                   scale_x=scale_x, scale_c=scale_c)
-        else:
-            pair = None
         if pair is None:
-            x_out = ref.sdpa(q, k, v2, scale=scale_x)
-            c_out = ref.sdpa(k, q, v1, scale=scale_c)
+            x_out = ref.sdpa_bnhd(q, k, v2, scale=scale_x)
+            c_out = ref.sdpa_bnhd(k, q, v1, scale=scale_c)
         else:
             x_out, c_out = pair
 
-        x_out = _dense(ch, self.dtype, "proj_x")(ref.merge_heads(x_out))
-        c_out = _dense(ch, self.dtype, "proj_c")(ref.merge_heads(c_out))
+        x_out = _dense(ch, self.dtype, "proj_x")(x_out.reshape(b, n, ch))
+        c_out = _dense(ch, self.dtype, "proj_c")(c_out.reshape(b, m, ch))
         return x_out, c_out

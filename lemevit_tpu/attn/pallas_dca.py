@@ -5,8 +5,9 @@ N-length tensors from HBM once:
   x_out = softmax(q1 @ k2^T * scale_x) @ v2      (row-softmax over M=16 cols)
   c_out = softmax(q2 @ k1^T * scale_c) @ v1      (online softmax over N cols)
 
-Returns None when the shapes don't qualify, signalling the caller to fall
-back to the XLA reference path (lemevit_tpu.attn.reference.sdpa).
+Inputs/outputs use the (B, N, H, d) layout. Returns None when the shapes
+don't qualify, signalling the caller to fall back to the XLA reference path
+(lemevit_tpu.attn.reference.sdpa_bnhd).
 """
 from __future__ import annotations
 

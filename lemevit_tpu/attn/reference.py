@@ -49,6 +49,24 @@ def dca_scales(n_tokens: int, m_tokens: int, dim: int) -> tuple:
     return scale_x, base
 
 
+def sdpa_bnhd(q: jax.Array, k: jax.Array, v: jax.Array,
+              scale: Optional[float] = None) -> jax.Array:
+    """Attention in (B, N, H, d) layout — no head transposes.
+
+    XLA folds the head axis into dot_general batch dims, so the data never
+    moves; on TPU this saves two full transposes of the qkv tensor and one
+    of the output per attention call vs. the (B,H,N,d) layout.
+    """
+    d = q.shape[-1]
+    scale = d ** -0.5 if scale is None else scale
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits * jnp.float32(scale)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", probs.astype(v.dtype), v)
+    return out.astype(q.dtype)
+
+
 def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
     """(B, N, H*d) -> (B, H, N, d)."""
     b, n, c = x.shape
