@@ -44,3 +44,12 @@ from lemevit_tpu.ops.orn import (  # noqa: F401
     rotation_invariant_encoding,
     rotation_invariant_pooling,
 )
+from lemevit_tpu.ops.plugins import (  # noqa: F401
+    PLUGIN_LAYERS,
+    ContextBlock,
+    GeneralizedAttention,
+    GlobalPoolingCell,
+    NonLocal2D,
+    SumCell,
+    build_plugin_layer,
+)
