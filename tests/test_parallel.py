@@ -1,0 +1,159 @@
+"""Parallelism tests on the 8-virtual-device CPU mesh: mesh building, TP
+param specs, sharded train step == single-device step, SyncBN, grad accum,
+EMA, LR schedule."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lemevit_tpu.models import create_model
+from lemevit_tpu.parallel import (MeshConfig, build_mesh, batch_sharding,
+                                  shard_params)
+from lemevit_tpu.train import (build_lr_schedule, build_optimizer,
+                               create_train_state, make_train_step)
+
+
+def test_mesh_shapes():
+    mesh = build_mesh(MeshConfig(data=4, model=2))
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    mesh = build_mesh(MeshConfig())  # all devices on data
+    assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+    with pytest.raises(ValueError):
+        build_mesh(MeshConfig(data=3, model=2))
+
+
+def test_tp_param_specs():
+    mesh = build_mesh(MeshConfig(data=4, model=2))
+    model = create_model("lemevit_micro", num_classes=4)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    sharded = shard_params(v["params"], mesh)
+    # qkv kernels column-parallel, proj kernels row-parallel
+    blk = sharded["stage3_block0"]["attn"]
+    qkv_spec = blk["qkv"]["kernel"].sharding.spec
+    proj_spec = blk["proj"]["kernel"].sharding.spec
+    assert tuple(qkv_spec) == (None, "model")
+    assert tuple(proj_spec) == ("model", None)
+    # conv kernels replicated
+    stem_spec = sharded["stem"]["conv1"]["conv"]["kernel"].sharding.spec
+    assert tuple(stem_spec) == ()
+
+
+def _make_state_and_batch(mesh, batch=8):
+    model = create_model("lemevit_micro", num_classes=5)
+    sched = build_lr_schedule(steps_per_epoch=4, epochs=2, warmup_epochs=1)
+    tx = build_optimizer(sched)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               (2, 32, 32, 3), tx, ema_decay=0.9)
+    images = jax.random.normal(jax.random.PRNGKey(1), (batch, 32, 32, 3))
+    labels = jnp.arange(batch, dtype=jnp.int32) % 5
+    return state, {"image": images, "label": labels}
+
+
+def test_sharded_step_matches_single_device():
+    state, batch = _make_state_and_batch(None)
+    step = make_train_step(label_smoothing=0.1)
+
+    # single-device result
+    s1, m1 = jax.jit(step)(state, batch, jax.random.PRNGKey(2))
+
+    # data-parallel over the 8-device mesh
+    mesh = build_mesh(MeshConfig())
+    with mesh:
+        state2, _ = _make_state_and_batch(mesh)
+        state2 = jax.device_put(state2, NamedSharding(mesh, P()))
+        sharded_batch = {
+            k: jax.device_put(v, batch_sharding(mesh))
+            for k, v in batch.items()}
+        s2, m2 = jax.jit(step)(state2, sharded_batch, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    # params after one update must match
+    l1 = jax.tree.leaves(s1.params)
+    l2 = jax.tree.leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_ema_update():
+    state, batch = _make_state_and_batch(None)
+    step = jax.jit(make_train_step())
+    p0 = jax.tree.map(np.asarray, state.params)
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    # ema = 0.9*old + 0.1*new
+    new = jax.tree.leaves(state.params)
+    old = jax.tree.leaves(p0)
+    ema = jax.tree.leaves(state.ema_params)
+    for o, n, e in zip(old, new, ema):
+        np.testing.assert_allclose(np.asarray(e), 0.9 * o + 0.1 * np.asarray(n),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_grad_accum_equals_big_batch():
+    model = create_model("lemevit_micro", num_classes=3)
+    # drop BN randomness: eval-stats? keep simple — compare accum vs full
+    # with the same data ordering.
+    sched = 1e-3
+    tx_full = build_optimizer(sched)
+    tx_acc = build_optimizer(sched, grad_accum_steps=2)
+    s_full = create_train_state(model, jax.random.PRNGKey(0), (2, 32, 32, 3),
+                                tx_full)
+    s_acc = s_full.replace(tx=tx_acc, opt_state=tx_acc.init(s_full.params))
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    labels = jnp.arange(8, dtype=jnp.int32) % 3
+    step = jax.jit(make_train_step(has_batch_stats=True), static_argnums=())
+    # full batch
+    rng = jax.random.PRNGKey(5)
+    s1, _ = step(s_full, {"image": imgs, "label": labels}, rng)
+    # two half batches accumulated — BN stats will differ; compare loosely
+    s2, _ = step(s_acc, {"image": imgs[:4], "label": labels[:4]}, rng)
+    s2, _ = step(s2, {"image": imgs[4:], "label": labels[4:]}, rng)
+    # after the accumulation boundary the params must have moved
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(s2.params),
+                        jax.tree.leaves(s_acc.params)))
+    assert moved
+    # and roughly toward the same place as the full-batch step
+    d_full = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b),
+                          s1.params, s_full.params)
+    d_acc = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b),
+                         s2.params, s_acc.params)
+    num = sum(float((a * b).sum()) for a, b in zip(jax.tree.leaves(d_full),
+                                                   jax.tree.leaves(d_acc)))
+    den = (sum(float((a * a).sum()) for a in jax.tree.leaves(d_full))
+           * sum(float((b * b).sum()) for b in jax.tree.leaves(d_acc))) ** 0.5
+    assert num / max(den, 1e-12) > 0.7  # update directions strongly aligned
+
+
+def test_lr_schedule_shape():
+    sched = build_lr_schedule(base_lr=5e-4, global_batch_size=1024,
+                              steps_per_epoch=100, epochs=10,
+                              warmup_epochs=1, warmup_lr=1e-6, min_lr=1e-5)
+    # linear scaling: peak = 5e-4 * 1024/512 = 1e-3
+    assert float(sched(100)) == pytest.approx(1e-3, rel=1e-3)
+    assert float(sched(0)) == pytest.approx(1e-6, rel=1e-2)
+    assert float(sched(999)) == pytest.approx(1e-5, rel=0.1)
+
+
+def test_distributed_info_single_process():
+    from lemevit_tpu.parallel.distributed import init_distributed
+    info = init_distributed()
+    assert info["process_count"] == 1 and info["is_primary"]
+    assert info["global_device_count"] == 8
+
+
+def test_profiling_utils():
+    from lemevit_tpu.utils.profiling import cost_analysis, model_summary, \
+        versions
+    model = create_model("lemevit_micro", num_classes=4)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    c = cost_analysis(lambda vv, x: model.apply(vv, x),
+                      v, jnp.zeros((1, 32, 32, 3)))
+    assert c["gmacs"] > 0
+    s = model_summary(model, v)
+    assert "TOTAL" in s and "stage3_block0" in s
+    info = versions()
+    assert "jax" in info
