@@ -3,7 +3,11 @@
 Writes JSON lines to /tmp/tpu_sweep_results.jsonl as results land.
 """
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
