@@ -139,11 +139,15 @@ def train(args, args_text: str = ""):
         val_ds = create_dataset(
             args.dataset, args.data_dir, split=args.val_split,
             transform=build_eval_transform(args.img_size, args.crop_pct))
+    # multi-host: each process loads its shard of every batch
     device_batch = args.batch_size * mesh.shape["data"]
-    train_loader = create_loader(train_ds, device_batch, is_training=True,
-                                 num_threads=args.workers, seed=args.seed)
-    val_loader = create_loader(val_ds, device_batch, is_training=False,
-                               num_threads=args.workers)
+    proc, nproc = jax.process_index(), jax.process_count()
+    train_loader = create_loader(train_ds, device_batch // nproc,
+                                 is_training=True, num_threads=args.workers,
+                                 seed=args.seed, rank=proc, world_size=nproc)
+    val_loader = create_loader(val_ds, device_batch // nproc,
+                               is_training=False, num_threads=args.workers,
+                               rank=proc, world_size=nproc)
     steps_per_epoch = args.steps_per_epoch or max(len(train_loader), 1)
 
     # ---------------- model/optimizer/state
@@ -230,10 +234,17 @@ def train(args, args_text: str = ""):
                 except StopIteration:
                     it = iter(train_loader)
                     batch = next(it)
-                batch = {
-                    "image": jax.device_put(batch["image"], batch_sharding),
-                    "label": jax.device_put(batch["label"], batch_sharding),
-                }
+                if nproc > 1:
+                    # each process contributes its local shard of the
+                    # global batch (single-controller SPMD)
+                    batch = {
+                        k: jax.make_array_from_process_local_data(
+                            batch_sharding, v)
+                        for k, v in batch.items()}
+                else:
+                    batch = {
+                        k: jax.device_put(v, batch_sharding)
+                        for k, v in batch.items()}
                 state, metrics = train_step(state, batch, rng)
                 if step_i % args.log_interval == 0:
                     m = {k: float(v) for k, v in metrics.items()}

@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true",
                    help="synthetic data smoke mode")
     p.add_argument("--max-batches", type=int, default=0)
+    p.add_argument("--tta", action="store_true",
+                   help="test-time augmentation: average logits with the "
+                        "horizontal flip (reference --tta equivalent)")
     return p
 
 
@@ -75,7 +78,12 @@ def validate(args) -> dict:
 
     @jax.jit
     def step(variables, images_u8, labels):
-        logits = model.apply(variables, normalize(images_u8), train=False)
+        images = normalize(images_u8)
+        logits = model.apply(variables, images, train=False)
+        if args.tta:
+            logits = logits + model.apply(variables, images[:, :, ::-1],
+                                          train=False)
+            logits = logits / 2.0
         return eval_metrics(logits, labels)
 
     totals = {"loss_sum": 0.0, "top1_sum": 0.0, "top5_sum": 0.0, "count": 0}
