@@ -120,24 +120,29 @@ class DualCrossAttention(nn.Module):
         h, d = self.num_heads, ch // self.num_heads
         scale_x, scale_c = ref.dca_scales(n, m, ch)
 
-        qkv1 = _dense(3 * ch, self.dtype, "qkv1")(x).reshape(b, n, 3, h, d)
-        q1, k1, v1 = qkv1[:, :, 0], qkv1[:, :, 1], qkv1[:, :, 2]
-        qkv2 = _dense(3 * ch, self.dtype, "qkv2")(c).reshape(b, m, 3, h, d)
-        q2, k2, v2 = qkv2[:, :, 0], qkv2[:, :, 1], qkv2[:, :, 2]
+        qkv1 = _dense(3 * ch, self.dtype, "qkv1")(x)
+        qkv2 = _dense(3 * ch, self.dtype, "qkv2")(c)
 
         pair = None
         if _use_pallas(self.backend):
             from lemevit_tpu.attn import pallas_dca
-            pair = pallas_dca.dca(q1, k1, v1, q2, k2, v2,
-                                  scale_x=scale_x, scale_c=scale_c)
+            q1c, k1c, v1c = jnp.split(qkv1, 3, axis=-1)
+            q2c, k2c, v2c = jnp.split(qkv2, 3, axis=-1)
+            pair = pallas_dca.dca(q1c, k1c, v1c, q2c, k2c, v2c,
+                                  scale_x=scale_x, scale_c=scale_c,
+                                  num_heads=h)
         if pair is None:
-            x_out = ref.sdpa_bnhd(q1, k2, v2, scale=scale_x)
-            c_out = ref.sdpa_bnhd(q2, k1, v1, scale=scale_c)
+            r1 = qkv1.reshape(b, n, 3, h, d)
+            r2 = qkv2.reshape(b, m, 3, h, d)
+            x_out = ref.sdpa_bnhd(r1[:, :, 0], r2[:, :, 1], r2[:, :, 2],
+                                  scale=scale_x).reshape(b, n, ch)
+            c_out = ref.sdpa_bnhd(r2[:, :, 0], r1[:, :, 1], r1[:, :, 2],
+                                  scale=scale_c).reshape(b, m, ch)
         else:
             x_out, c_out = pair
 
-        x_out = _dense(ch, self.dtype, "proj_x")(x_out.reshape(b, n, ch))
-        c_out = _dense(ch, self.dtype, "proj_c")(c_out.reshape(b, m, ch))
+        x_out = _dense(ch, self.dtype, "proj_x")(x_out)
+        c_out = _dense(ch, self.dtype, "proj_c")(c_out)
         return x_out, c_out
 
 
@@ -160,24 +165,31 @@ class DualCrossAttentionV2(nn.Module):
         h, d = self.num_heads, ch // self.num_heads
         scale_x, scale_c = ref.dca_scales(n, m, ch)
 
-        qv1 = _dense(2 * ch, self.dtype, "qv1")(x).reshape(b, n, 2, h, d)
-        q, v1 = qv1[:, :, 0], qv1[:, :, 1]
-        kv2 = _dense(2 * ch, self.dtype, "kv2")(c).reshape(b, m, 2, h, d)
-        k, v2 = kv2[:, :, 0], kv2[:, :, 1]
+        qv1 = _dense(2 * ch, self.dtype, "qv1")(x)
+        kv2 = _dense(2 * ch, self.dtype, "kv2")(c)
 
         pair = None
         if _use_pallas(self.backend):
             # v2 maps onto the general DCA form by argument permutation:
             # q1=q, k1=q, v1=v1 (image side); q2=k, k2=k, v2=v2 (meta side).
             from lemevit_tpu.attn import pallas_dca
-            pair = pallas_dca.dca(q, q, v1, k, k, v2,
-                                  scale_x=scale_x, scale_c=scale_c)
+            qc, v1c = jnp.split(qv1, 2, axis=-1)
+            kc, v2c = jnp.split(kv2, 2, axis=-1)
+            pair = pallas_dca.dca(qc, qc, v1c, kc, kc, v2c,
+                                  scale_x=scale_x, scale_c=scale_c,
+                                  num_heads=h)
         if pair is None:
-            x_out = ref.sdpa_bnhd(q, k, v2, scale=scale_x)
-            c_out = ref.sdpa_bnhd(k, q, v1, scale=scale_c)
+            r1 = qv1.reshape(b, n, 2, h, d)
+            r2 = kv2.reshape(b, m, 2, h, d)
+            q, v1 = r1[:, :, 0], r1[:, :, 1]
+            k, v2 = r2[:, :, 0], r2[:, :, 1]
+            x_out = ref.sdpa_bnhd(q, k, v2,
+                                  scale=scale_x).reshape(b, n, ch)
+            c_out = ref.sdpa_bnhd(k, q, v1,
+                                  scale=scale_c).reshape(b, m, ch)
         else:
             x_out, c_out = pair
 
-        x_out = _dense(ch, self.dtype, "proj_x")(x_out.reshape(b, n, ch))
-        c_out = _dense(ch, self.dtype, "proj_c")(c_out.reshape(b, m, ch))
+        x_out = _dense(ch, self.dtype, "proj_x")(x_out)
+        c_out = _dense(ch, self.dtype, "proj_c")(c_out)
         return x_out, c_out
