@@ -74,9 +74,16 @@ class StandardAttention(nn.Module):
     def __call__(self, x):
         b, n, c = x.shape
         h, d = self.num_heads, c // self.num_heads
-        qkv = _dense(3 * c, self.dtype, "qkv")(x).reshape(b, n, 3, h, d)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = _sdpa(self.backend, q, k, v).reshape(b, n, c)
+        qkv = _dense(3 * c, self.dtype, "qkv")(x)
+        out = None
+        if _use_pallas(self.backend):
+            from lemevit_tpu.attn import pallas_mhsa
+            qc, kc, vc = jnp.split(qkv, 3, axis=-1)
+            out = pallas_mhsa.mhsa(qc, kc, vc, num_heads=h)
+        if out is None:
+            r = qkv.reshape(b, n, 3, h, d)
+            out = ref.sdpa_bnhd(r[:, :, 0], r[:, :, 1],
+                                r[:, :, 2]).reshape(b, n, c)
         return _dense(c, self.dtype, "proj")(out)
 
 

@@ -14,7 +14,9 @@ from lemevit_tpu.attn import reference as ref
 
 @pytest.fixture(autouse=True)
 def _interpret(monkeypatch):
+    from lemevit_tpu.attn import pallas_mhsa
     monkeypatch.setattr(pallas_dca, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_mhsa, "_INTERPRET", True)
 
 
 H, D = 2, 32
@@ -110,6 +112,51 @@ def test_dca_rejects_bad_shapes():
     args = _make(m=4)    # m % 8 != 0
     assert pallas_dca.dca(*args, scale_x=0.1, scale_c=0.1,
                           num_heads=H) is None
+
+
+def test_mhsa_matches_xla():
+    from lemevit_tpu.attn import pallas_mhsa
+    monkey = pytest.MonkeyPatch()
+    monkey.setattr(pallas_mhsa, "_INTERPRET", True)
+    try:
+        for n, dtype, tol in [(196, jnp.float32, 1e-5),
+                              (49, jnp.float32, 1e-5),
+                              (196, jnp.bfloat16, 2e-2)]:
+            ks = jax.random.split(jax.random.PRNGKey(n), 3)
+            q, k, v = (jax.random.normal(kk, (2, n, C), dtype) for kk in ks)
+            out = pallas_mhsa.mhsa(q, k, v, num_heads=H)
+            assert out is not None
+            sh = lambda t: t.reshape(2, n, H, D)
+            refo = ref.sdpa_bnhd(sh(q), sh(k), sh(v)).reshape(2, n, C)
+            np.testing.assert_allclose(
+                np.asarray(out, np.float32), np.asarray(refo, np.float32),
+                rtol=tol, atol=tol)
+    finally:
+        monkey.undo()
+
+
+def test_mhsa_grad_matches_xla():
+    from lemevit_tpu.attn import pallas_mhsa
+    monkey = pytest.MonkeyPatch()
+    monkey.setattr(pallas_mhsa, "_INTERPRET", True)
+    try:
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q, k, v = (jax.random.normal(kk, (1, 64, C)) for kk in ks)
+
+        def lp(q, k, v):
+            return (pallas_mhsa.mhsa(q, k, v, num_heads=H) ** 2).sum()
+
+        def lx(q, k, v):
+            sh = lambda t: t.reshape(1, 64, H, D)
+            return (ref.sdpa_bnhd(sh(q), sh(k), sh(v)) ** 2).sum()
+
+        g1 = jax.grad(lp, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(lx, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+    finally:
+        monkey.undo()
 
 
 def test_model_with_pallas_backend_matches_xla():
