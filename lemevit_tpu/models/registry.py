@@ -114,3 +114,30 @@ def vit_tiny(**kwargs) -> LeMeViT:
 @register_model
 def lemevit_micro(**kwargs) -> LeMeViT:
     return _make("lemevit_micro", **kwargs)
+
+
+# alternative backbones (CD vertical choices: resnet / swin / lemevit,
+# cf. change_detection/models/networks.py:331-371)
+
+@register_model
+def resnet18(**kwargs):
+    from lemevit_tpu.models.resnet import resnet18 as f
+    return f(**kwargs)
+
+
+@register_model
+def resnet34(**kwargs):
+    from lemevit_tpu.models.resnet import resnet34 as f
+    return f(**kwargs)
+
+
+@register_model
+def resnet50(**kwargs):
+    from lemevit_tpu.models.resnet import resnet50 as f
+    return f(**kwargs)
+
+
+@register_model
+def swin_tiny(**kwargs):
+    from lemevit_tpu.models.swin import swin_tiny as f
+    return f(**kwargs)

@@ -56,3 +56,22 @@ def test_dota_submission(tmp_path):
     poly = obb_to_poly_np(boxes[:1])[0]
     assert sorted(poly[::2]) == [40, 40, 60, 60]
     assert sorted(poly[1::2]) == [45, 45, 55, 55]
+
+
+def test_swin_tiny_pyramid():
+    from lemevit_tpu.models.swin import swin_tiny
+    m = swin_tiny()
+    x = jnp.zeros((1, 56, 56, 3))  # exercises window=7 exactly
+    v = m.init(jax.random.PRNGKey(0), x)
+    feats = m.apply(v, x)
+    assert [f.shape for f in feats] == [
+        (1, 14, 14, 96), (1, 7, 7, 192), (1, 4, 4, 384), (1, 2, 2, 768)]
+
+
+def test_swin_shifted_windows_and_padding():
+    from lemevit_tpu.models.swin import swin_tiny
+    m = swin_tiny(window_size=4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 24, 24, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    feats = m.apply(v, x)
+    assert np.isfinite(np.asarray(feats[-1])).all()
