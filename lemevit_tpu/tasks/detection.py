@@ -104,9 +104,13 @@ def decode_midpoint_offset(anchors: jax.Array, deltas: jax.Array
                            ) -> jax.Array:
     """Midpoint-offset decoding -> rotated boxes (cx,cy,w,h,theta).
 
-    anchors (N,4) xywh; deltas (N,6) = (dx,dy,dw,dh,da,db). The external box
-    is the decoded axis-aligned box; da/db place the midpoints of the top
-    and right edges; theta/w/h follow from the parallelogram.
+    anchors (N,4) xywh; deltas (N,6) = (dx,dy,dw,dh,da,db): the first four
+    decode the external (axis-aligned) box like a standard coder; (da, db)
+    is the center->right-edge-midpoint vector of the oriented box,
+    normalized by the external box dims — the same 6-number
+    external-box-plus-midpoint-offset family as Oriented R-CNN's coder, but
+    exactly invertible for any theta in (-pi/2, pi/2) (see
+    detection_train.encode_midpoint_offset for the inverse).
     """
     ax, ay, aw, ah = (anchors[:, i] for i in range(4))
     dx, dy, dw, dh, da, db = (deltas[:, i] for i in range(6))
@@ -114,15 +118,14 @@ def decode_midpoint_offset(anchors: jax.Array, deltas: jax.Array
     gy = ay + dy * ah
     gw = aw * jnp.exp(jnp.clip(dw, -4, 4))
     gh = ah * jnp.exp(jnp.clip(dh, -4, 4))
-    da = jnp.clip(da, -0.5, 0.5) * gw    # top-edge midpoint offset
-    db = jnp.clip(db, -0.5, 0.5) * gh    # right-edge midpoint offset
-    # parallelogram vertices -> oriented box (Oriented R-CNN geometry)
-    # vector from center to top midpoint: (da, -gh/2); to right: (gw/2, db)
-    v1 = jnp.stack([da, -gh / 2], -1)
-    v2 = jnp.stack([gw / 2, db], -1)
-    w_r = 2 * jnp.linalg.norm(v2, axis=-1)
-    h_r = 2 * jnp.linalg.norm(v1, axis=-1)
-    theta = jnp.arctan2(v2[:, 1], v2[:, 0])
+    # zero deltas decode to the axis-aligned external box itself
+    vx = (0.5 + jnp.clip(da, -0.45, 0.25)) * gw  # right-edge midpoint vec
+    vy = jnp.clip(db, -0.75, 0.75) * gh
+    w_r = 2 * jnp.sqrt(vx * vx + vy * vy)
+    theta = jnp.arctan2(vy, jnp.maximum(vx, 1e-6))
+    # external height = w|sin t| + h cos t  ->  recover h
+    cos_t = jnp.maximum(jnp.cos(theta), 1e-3)
+    h_r = jnp.maximum((gh - w_r * jnp.abs(jnp.sin(theta))) / cos_t, 1e-3)
     return jnp.stack([gx, gy, w_r, h_r, theta], -1)
 
 

@@ -1,0 +1,97 @@
+"""Detection-training machinery tests: coders, assigner, sampler, losses,
+end-to-end gradient step."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lemevit_tpu.tasks import detection_train as dt
+from lemevit_tpu.tasks.detection import decode_midpoint_offset
+
+
+def test_midpoint_offset_coder_roundtrip_axis_aligned():
+    # axis-aligned gt: encode then decode must recover it
+    anchors = jnp.array([[50., 50., 16., 16.]])
+    gt = jnp.array([[52., 48., 20., 10., 0.0]])
+    deltas = dt.encode_midpoint_offset(anchors, gt)
+    rec = decode_midpoint_offset(anchors, deltas)
+    np.testing.assert_allclose(np.asarray(rec[0, :4]), [52, 48, 20, 10],
+                               atol=1e-4)
+    assert abs(float(rec[0, 4])) < 1e-4
+
+
+def test_midpoint_offset_coder_roundtrip_rotated():
+    anchors = jnp.array([[50., 50., 16., 16.], [30., 40., 8., 24.]])
+    gt = jnp.array([[50., 50., 20., 10., 0.4],
+                    [32., 38., 12., 6., -1.1]])
+    deltas = dt.encode_midpoint_offset(anchors, gt)
+    rec = np.asarray(decode_midpoint_offset(anchors, deltas))
+    np.testing.assert_allclose(rec[0], [50, 50, 20, 10, 0.4], atol=1e-3)
+    # second gt has |theta| > pi/2 after canonicalization? -1.1 stays;
+    # exact roundtrip within clip range
+    np.testing.assert_allclose(rec[1], [32, 38, 12, 6, -1.1], atol=1e-3)
+
+
+def test_obb_to_aabb():
+    obb = jnp.array([[10., 10., 4., 2., np.pi / 2]])
+    aabb = np.asarray(dt.obb_to_aabb(obb))[0]
+    np.testing.assert_allclose(aabb, [9, 8, 11, 12], atol=1e-5)
+
+
+def test_assigner():
+    anchors = jnp.array([[0., 0., 10., 10.], [0., 0., 1., 1.],
+                         [100., 100., 110., 110.]])
+    gts = jnp.array([[0., 0., 10., 10.], [200., 200., 210., 210.]])
+    mask = jnp.array([True, False])
+    labels, assigned = dt.max_iou_assign(anchors, gts, mask)
+    assert int(labels[0]) == 1 and int(assigned[0]) == 0
+    assert int(labels[2]) == 0  # far anchor negative
+    # padded gt never assigns positives
+    assert not bool((assigned[labels == 1] == 1).any())
+
+
+def test_sample_weights_budget():
+    labels = jnp.array([1] * 10 + [0] * 1000 + [-1] * 5)
+    cls_w, reg_w = dt.sample_weights(labels, num=256, pos_fraction=0.5)
+    assert float(cls_w.sum()) == pytest.approx(10 + 246, rel=1e-5)
+    assert float(reg_w.sum()) == pytest.approx(10, rel=1e-5)
+    assert float(cls_w[-1]) == 0.0  # ignored anchors excluded
+
+
+def test_smooth_l1():
+    x = jnp.array([0.0, 0.05, 1.0])
+    t = jnp.zeros(3)
+    out = np.asarray(dt.smooth_l1(x, t, beta=1 / 9))
+    assert out[0] == 0
+    assert out[1] == pytest.approx(0.5 * 0.05 ** 2 / (1 / 9))
+    assert out[2] == pytest.approx(1.0 - 0.5 / 9)
+
+
+def test_detection_loss_end_to_end_grad():
+    from lemevit_tpu.models import create_model
+    from lemevit_tpu.tasks import OrientedRCNN
+    det = OrientedRCNN(backbone=create_model("lemevit_micro",
+                                             features_only=True),
+                       num_classes=3, fpn_channels=16, num_proposals=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    v = det.init(jax.random.PRNGKey(1), x)
+    gt_obbs = jnp.array([[[32., 32., 20., 10., 0.2],
+                          [10., 10., 8., 8., 0.0]]])
+    gt_labels = jnp.array([[0, 2]])
+    gt_mask = jnp.array([[True, True]])
+
+    def loss_fn(params):
+        out, _ = det.apply({"params": params,
+                            "batch_stats": v.get("batch_stats", {})},
+                           x, train=True, mutable=["batch_stats"])
+        total, parts = dt.detection_loss(out, gt_obbs, gt_labels, gt_mask,
+                                         num_classes=3)
+        return total, parts
+
+    (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        v["params"])
+    assert np.isfinite(float(total))
+    assert set(parts) == {"rpn_cls", "rpn_reg", "roi_cls", "roi_reg"}
+    gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
