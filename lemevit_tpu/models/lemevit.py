@@ -180,6 +180,10 @@ class LeMeViT(nn.Module):
     dtype: Dtype = jnp.float32
     attn_backend: str = "auto"
     bn_axis_name: Optional[str] = None  # e.g. "data" for SyncBN
+    freeze_bn: bool = False  # BN uses running stats even in train mode
+    # (detection fine-tuning, ref object_detection fork :833-842);
+    # param freezing (frozen_stages) is an optimizer-mask concern — see
+    # train/optim.py::build_optimizer(frozen_prefixes=...)
 
     @property
     def num_stages(self) -> int:
@@ -261,10 +265,11 @@ class LeMeViT(nn.Module):
         c = jnp.broadcast_to(self.meta_tokens.astype(self.dtype)[None],
                              (b,) + self.meta_tokens.shape)
         feats = []
+        bn_train = train and not self.freeze_bn
         for i in range(self.num_stages):
             ds = self.downsample_layers[i]
             if ds is not None:
-                x = ds(x, train=train)
+                x = ds(x, train=bn_train)
             c = self.meta_token_downsample[i](c)
             for block in self.stages[i]:
                 x, c = block(x, c, not train)

@@ -59,6 +59,17 @@ def _wd_mask(params):
     return jax.tree_util.tree_map_with_path(mask_leaf, params)
 
 
+def _freeze_mask(params, prefixes):
+    """True (=zero the update) where the param path starts with any of the
+    given '/'-joined prefixes — the functional equivalent of the reference's
+    frozen_stages / requires_grad_(False)."""
+    def leaf(path, _):
+        names = "/".join(getattr(k, "key", str(k)) for k in path)
+        return any(names.startswith(p) for p in prefixes)
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
+
+
 def build_optimizer(
     learning_rate,
     weight_decay: float = 0.05,
@@ -67,6 +78,7 @@ def build_optimizer(
     eps: float = 1e-8,
     clip_grad: Optional[float] = None,
     grad_accum_steps: int = 1,
+    frozen_prefixes=(),
     params_example=None,
 ) -> optax.GradientTransformation:
     mask = (lambda p: _wd_mask(p)) if params_example is None else _wd_mask(
@@ -77,6 +89,10 @@ def build_optimizer(
     chain.append(optax.adamw(learning_rate, b1=beta1, b2=beta2, eps=eps,
                              weight_decay=weight_decay, mask=mask))
     tx = optax.chain(*chain)
+    if frozen_prefixes:
+        fm = lambda p: _freeze_mask(p, tuple(frozen_prefixes))
+        tx = optax.chain(
+            tx, optax.masked(optax.set_to_zero(), fm))
     if grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
     return tx

@@ -157,3 +157,36 @@ def test_profiling_utils():
     assert "TOTAL" in s and "stage3_block0" in s
     info = versions()
     assert "jax" in info
+
+
+def test_frozen_prefixes():
+    model = create_model("lemevit_micro", num_classes=3)
+    tx = build_optimizer(1e-2, frozen_prefixes=("stem", "stage0_"))
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 3),
+                               tx)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    batch = {"image": imgs, "label": jnp.array([0, 1])}
+    step = jax.jit(make_train_step())
+    new_state, _ = step(state, batch, jax.random.PRNGKey(2))
+    # frozen subtree unchanged
+    for a, b in zip(jax.tree.leaves(state.params["stem"]),
+                    jax.tree.leaves(new_state.params["stem"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # unfrozen moved
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.params["head"]),
+                        jax.tree.leaves(new_state.params["head"])))
+    assert moved
+
+
+def test_freeze_bn():
+    model = create_model("lemevit_micro", num_classes=3, freeze_bn=True)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    out, mut = model.apply(v, jnp.ones((2, 32, 32, 3)), train=True,
+                           rngs={"dropout": jax.random.PRNGKey(1)},
+                           mutable=["batch_stats"])
+    # stem/downsample BN stats must NOT move; only the head BN may update
+    for a, b in zip(jax.tree.leaves(v["batch_stats"]["stem"]),
+                    jax.tree.leaves(mut["batch_stats"]["stem"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
