@@ -1,0 +1,323 @@
+"""Fully-fused LeMeBlock Pallas kernels (inference path).
+
+The DCA/MHSA stages are HBM-bound: the unfused XLA block reads/writes the
+(B,N,C) activations ~16x per block (LN, qkv, attention, proj, residuals,
+MLP). These kernels execute an ENTIRE pre-norm LeMeBlock per grid step with
+all weights resident in VMEM, so x streams HBM->VMEM once and back once.
+
+Two kernels:
+  - s_block: "S"-type block — self-attention + shared-MLP applied to the
+    image tokens AND (with the same weights) to the meta tokens
+    (ref models/lemevit.py:615-650). Grid (B,); N <= 1024 per row.
+  - dca_block: "D"-type block — dual cross-attention with the two token
+    streams updated through the shared MLP (ref :542-582). Grid
+    (B, N-tiles) with online softmax + carry-over scratch for the meta
+    direction; the meta branch finalizes on the last tile.
+
+Inference-only (deterministic; no DropPath) — training falls back to the
+XLA composition, whose numerics these kernels match (tested in interpret
+mode). Pre-norm, no layer-scale (all released LeMeViT variants).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+    HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    HAS_PLTPU = False
+
+_INTERPRET = False
+_MAX_N_SBLOCK = 1024
+
+
+def _ln(t, scale, bias, eps=1e-6):
+    t32 = t.astype(jnp.float32)
+    mu = jnp.mean(t32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(t32 - mu), axis=-1, keepdims=True)
+    out = (t32 - mu) * jax.lax.rsqrt(var + eps)
+    return out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def _gelu(t):
+    # exact erf GELU in fp32 (parity with torch nn.GELU)
+    return 0.5 * t * (1.0 + jax.lax.erf(t / jnp.sqrt(2.0).astype(t.dtype)))
+
+
+def _attn_rows(q, k, v, scale, num_heads, head_dim, out_dtype):
+    """Per-head attention on 2D (R,C)x(S,C) tiles; returns (R,C)."""
+    outs = []
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s - jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    return jnp.concatenate(outs, axis=-1).astype(out_dtype)
+
+
+def _mlp_residual(t, w1, b1, w2, b2, ln_s, ln_b, dtype):
+    m = _ln(t.astype(jnp.float32), ln_s, ln_b).astype(dtype)
+    y = jax.lax.dot_general(m, w1, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = _gelu(y + b1.astype(jnp.float32)).astype(dtype)
+    y = jax.lax.dot_general(y, w2, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = y + b2.astype(jnp.float32)
+    return t.astype(jnp.float32) + y
+
+
+def _s_block_kernel(x_ref, c_ref,
+                    ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
+                    ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    xo_ref, co_ref, *,
+                    scale: float, num_heads: int, head_dim: int):
+    dtype = x_ref.dtype
+    c_dim = x_ref.shape[-1]
+    ln1s, ln1b = ln1s_ref[0], ln1b_ref[0]
+    ln2s, ln2b = ln2s_ref[0], ln2b_ref[0]
+    wqkv, bqkv = wqkv_ref[:], bqkv_ref[0]
+    wp, bp = wp_ref[:], bp_ref[0]
+    w1, b1 = w1_ref[:], b1_ref[0]
+    w2, b2 = w2_ref[:], b2_ref[0]
+
+    def branch(t):
+        a = _ln(t, ln1s, ln1b).astype(dtype)
+        qkv = jax.lax.dot_general(
+            a, wqkv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        qkv = (qkv + bqkv.astype(jnp.float32)).astype(dtype)
+        q = qkv[:, :c_dim]
+        k = qkv[:, c_dim:2 * c_dim]
+        v = qkv[:, 2 * c_dim:]
+        o = _attn_rows(q, k, v, scale, num_heads, head_dim, dtype)
+        o = jax.lax.dot_general(o, wp, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        t1 = t.astype(jnp.float32) + o + bp.astype(jnp.float32)
+        out = _mlp_residual(t1.astype(dtype), w1, b1, w2, b2, ln2s, ln2b,
+                            dtype)
+        return out.astype(dtype)
+
+    xo_ref[0] = branch(x_ref[0])
+    co_ref[0] = branch(c_ref[0])
+
+
+def _weight_specs(shapes):
+    return [pl.BlockSpec(s, lambda bi: tuple([0] * len(s)),
+                         memory_space=pltpu.VMEM) for s in shapes]
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "num_heads"))
+def _s_block_call(x, c, params, scale, num_heads):
+    b, n, ch = x.shape
+    m = c.shape[1]
+    d = ch // num_heads
+    (ln1s, ln1b, wqkv, bqkv, wp, bp, ln2s, ln2b, w1, b1, w2, b2) = params
+    hidden = w1.shape[1]
+    # biases/LN params as (1, C) rows for TPU 2D layout
+    row = lambda t: t.reshape(1, -1)
+    weights = [row(ln1s), row(ln1b), wqkv, row(bqkv), wp, row(bp),
+               row(ln2s), row(ln2b), w1, row(b1), w2, row(b2)]
+    kernel = functools.partial(_s_block_kernel, scale=float(scale),
+                               num_heads=num_heads, head_dim=d)
+    x_spec = pl.BlockSpec((1, n, ch), lambda bi: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((1, m, ch), lambda bi: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_specs = _weight_specs([w.shape for w in weights])
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[x_spec, c_spec] + w_specs,
+        out_specs=[x_spec, c_spec],
+        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct(c.shape, c.dtype)],
+        interpret=_INTERPRET,
+    )(x, c, *weights)
+
+
+def _dca_block_kernel(x_ref, c_ref,
+                      ln1s_ref, ln1b_ref,
+                      wqkv1_ref, bqkv1_ref, wqkv2_ref, bqkv2_ref,
+                      wpx_ref, bpx_ref, wpc_ref, bpc_ref,
+                      ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                      xo_ref, co_ref,
+                      q2_scr, k2_scr, v2_scr, m_scr, l_scr, acc_scr,
+                      *, scale_x: float, scale_c: float, n_tiles: int,
+                      num_heads: int, head_dim: int):
+    t = pl.program_id(1)
+    dtype = x_ref.dtype
+    c_dim = x_ref.shape[-1]
+    ln1s, ln1b = ln1s_ref[0], ln1b_ref[0]
+    ln2s, ln2b = ln2s_ref[0], ln2b_ref[0]
+
+    @pl.when(t == 0)
+    def _():
+        ca = _ln(c_ref[0], ln1s, ln1b).astype(dtype)
+        qkv2 = jax.lax.dot_general(
+            ca, wqkv2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        qkv2 = (qkv2 + bqkv2_ref[0].astype(jnp.float32)).astype(dtype)
+        q2_scr[:] = qkv2[:, :c_dim]
+        k2_scr[:] = qkv2[:, c_dim:2 * c_dim]
+        v2_scr[:] = qkv2[:, 2 * c_dim:]
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # ---- image-token tile path
+    xt = x_ref[0]
+    xa = _ln(xt, ln1s, ln1b).astype(dtype)
+    qkv1 = jax.lax.dot_general(
+        xa, wqkv1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv1 = (qkv1 + bqkv1_ref[0].astype(jnp.float32)).astype(dtype)
+    q1 = qkv1[:, :c_dim]
+    k1 = qkv1[:, c_dim:2 * c_dim]
+    v1 = qkv1[:, 2 * c_dim:]
+
+    outs = []
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        # x direction: tile rows attend to the M meta tokens
+        s = jax.lax.dot_general(
+            q1[:, sl], k2_scr[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale_x
+        s = s - jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p.astype(dtype), v2_scr[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        # c direction: online softmax over the N tiles
+        s2 = jax.lax.dot_general(
+            q2_scr[:, sl], k1[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale_c
+        hs = slice(h, h + 1)
+        m_prev = m_scr[:, hs]
+        m_cur = jnp.maximum(m_prev, jnp.max(s2, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)
+        p2 = jnp.exp(s2 - m_cur)
+        l_scr[:, hs] = l_scr[:, hs] * alpha + jnp.sum(p2, axis=1,
+                                                      keepdims=True)
+        acc_scr[:, sl] = acc_scr[:, sl] * alpha + jax.lax.dot_general(
+            p2.astype(dtype), v1[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:, hs] = m_cur
+
+    attn_x = jnp.concatenate(outs, axis=-1).astype(dtype)
+    o = jax.lax.dot_general(attn_x, wpx_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    x1 = xt.astype(jnp.float32) + o + bpx_ref[0].astype(jnp.float32)
+    xo = _mlp_residual(x1.astype(dtype), w1_ref[:], b1_ref[0], w2_ref[:],
+                       b2_ref[0], ln2s, ln2b, dtype)
+    xo_ref[0] = xo.astype(dtype)
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        attn_c = jnp.zeros_like(acc_scr)
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            attn_c = attn_c.at[:, sl].set(
+                acc_scr[:, sl] / l_scr[:, h:h + 1])
+        oc = jax.lax.dot_general(
+            attn_c.astype(dtype), wpc_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        c1 = c_ref[0].astype(jnp.float32) + oc + bpc_ref[0].astype(
+            jnp.float32)
+        co = _mlp_residual(c1.astype(dtype), w1_ref[:], b1_ref[0],
+                           w2_ref[:], b2_ref[0], ln2s, ln2b, dtype)
+        co_ref[0] = co.astype(dtype)
+
+
+def _pick_tile(n: int) -> int:
+    if n <= 512 and n % 16 == 0:
+        return n
+    for tile in (512, 448, 256, 224, 128, 112):
+        if n % tile == 0:
+            return tile
+    return 0
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale_x", "scale_c", "num_heads"))
+def _dca_block_call(x, c, params, scale_x, scale_c, num_heads):
+    b, n, ch = x.shape
+    m = c.shape[1]
+    d = ch // num_heads
+    tile_n = _pick_tile(n)
+    n_tiles = pl.cdiv(n, tile_n)
+    row = lambda t: t.reshape(1, -1)
+    (ln1s, ln1b, wqkv1, bqkv1, wqkv2, bqkv2, wpx, bpx, wpc, bpc,
+     ln2s, ln2b, w1, b1, w2, b2) = params
+    weights = [row(ln1s), row(ln1b), wqkv1, row(bqkv1), wqkv2, row(bqkv2),
+               wpx, row(bpx), wpc, row(bpc), row(ln2s), row(ln2b),
+               w1, row(b1), w2, row(b2)]
+    kernel = functools.partial(
+        _dca_block_kernel, scale_x=float(scale_x), scale_c=float(scale_c),
+        n_tiles=n_tiles, num_heads=num_heads, head_dim=d)
+    x_spec = pl.BlockSpec((1, tile_n, ch), lambda bi, ti: (bi, ti, 0),
+                          memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((1, m, ch), lambda bi, ti: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_specs = [pl.BlockSpec(w.shape, lambda bi, ti, s=w.shape:
+                            tuple([0] * len(s)), memory_space=pltpu.VMEM)
+               for w in weights]
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[x_spec, c_spec] + w_specs,
+        out_specs=[x_spec, c_spec],
+        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct(c.shape, c.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((m, ch), x.dtype),     # q2
+            pltpu.VMEM((m, ch), x.dtype),     # k2
+            pltpu.VMEM((m, ch), x.dtype),     # v2
+            pltpu.VMEM((m, num_heads), jnp.float32),
+            pltpu.VMEM((m, num_heads), jnp.float32),
+            pltpu.VMEM((m, ch), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(x, c, *weights)
+
+
+def dca_block(x, c, params, *, num_heads: int, scale_x: float,
+              scale_c: float) -> Optional[Tuple[jax.Array, jax.Array]]:
+    """Fused D-type LeMeBlock (post-CPE, pre-norm). params =
+    (ln1_s, ln1_b, Wqkv1, bqkv1, Wqkv2, bqkv2, Wproj_x, bproj_x, Wproj_c,
+    bproj_c, ln2_s, ln2_b, W1, b1, W2, b2)."""
+    if not HAS_PLTPU:
+        return None
+    b, n, ch = x.shape
+    if (c.shape[1] % 8 != 0 or ch % num_heads != 0
+            or _pick_tile(n) == 0):
+        return None
+    return tuple(_dca_block_call(x, c, tuple(params), scale_x, scale_c,
+                                 num_heads))
+
+
+def s_block(x, c, params, *, num_heads: int
+            ) -> Optional[Tuple[jax.Array, jax.Array]]:
+    """Fused S-type LeMeBlock (post-CPE). x (B,N,C) tokens, c (B,M,C);
+    params = (ln1_scale, ln1_bias, Wqkv, bqkv, Wproj, bproj, ln2_scale,
+    ln2_bias, W1, b1, W2, b2). Returns None if shapes don't qualify."""
+    if not HAS_PLTPU:
+        return None
+    b, n, ch = x.shape
+    d = ch // num_heads
+    if n > _MAX_N_SBLOCK or ch % num_heads != 0 or c.shape[1] % 8 != 0:
+        return None
+    scale = d ** -0.5
+    return tuple(_s_block_call(x, c, tuple(params), scale, num_heads))

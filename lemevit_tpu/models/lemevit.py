@@ -125,12 +125,16 @@ class LeMeBlock(nn.Module):
         hw = (h, w)
         if self.attn_type in ("D", "D2"):
             x = self._cpe(x).reshape(b, h * w, ch)
-            if self.pre_norm:
-                ax, ac = self.attn(self.norm1(x), self.norm1(c))
+            fused = self._try_fused_dca(x, c, deterministic)
+            if fused is not None:
+                x, c = fused
             else:
-                ax, ac = self.attn(x, c)
-            x = self._residual_update(x, ax, hw, deterministic)
-            c = self._residual_update(c, ac, None, deterministic)
+                if self.pre_norm:
+                    ax, ac = self.attn(self.norm1(x), self.norm1(c))
+                else:
+                    ax, ac = self.attn(x, c)
+                x = self._residual_update(x, ax, hw, deterministic)
+                c = self._residual_update(c, ac, None, deterministic)
             x = x.reshape(b, h, w, ch)
         elif self.attn_type == "C":
             # x passes through unchanged (ref :584-613: x restored after CPE);
@@ -144,12 +148,84 @@ class LeMeBlock(nn.Module):
         else:  # "S": self-attention applied separately to x AND c,
             # with the same (shared) attention + MLP weights (ref :615-650).
             x = self._cpe(x).reshape(b, h * w, ch)
-            ax = self.attn(self.norm1(x)) if self.pre_norm else self.attn(x)
-            x = self._residual_update(x, ax, hw, deterministic)
-            ac = self.attn(self.norm1(c)) if self.pre_norm else self.attn(c)
-            c = self._residual_update(c, ac, None, deterministic)
+            fused = self._try_fused_s(x, c, deterministic)
+            if fused is not None:
+                x, c = fused
+            else:
+                ax = self.attn(self.norm1(x)) if self.pre_norm \
+                    else self.attn(x)
+                x = self._residual_update(x, ax, hw, deterministic)
+                ac = self.attn(self.norm1(c)) if self.pre_norm \
+                    else self.attn(c)
+                c = self._residual_update(c, ac, None, deterministic)
             x = x.reshape(b, h, w, ch)
         return x, c
+
+    def _fusable(self, deterministic):
+        from lemevit_tpu.attn.modules import _use_pallas
+        return (deterministic and self.pre_norm and not self.use_layer_scale
+                and not self.mlp_dwconv and not self.is_initializing()
+                and _use_pallas(self.attn_backend))
+
+    def _try_fused_dca(self, x, c, deterministic):
+        """Whole-block fused D-type kernel (inference)."""
+        if self.attn_type != "D" or not self._fusable(deterministic):
+            return None
+        from lemevit_tpu.attn import pallas_block
+        from lemevit_tpu.attn import reference as aref
+        try:
+            v = self.variables["params"]
+            dt = self.dtype
+            scale_x, scale_c = aref.dca_scales(x.shape[1], c.shape[1],
+                                               x.shape[2])
+            params = (
+                v["norm1"]["scale"], v["norm1"]["bias"],
+                v["attn"]["qkv1"]["kernel"].astype(dt),
+                v["attn"]["qkv1"]["bias"].astype(dt),
+                v["attn"]["qkv2"]["kernel"].astype(dt),
+                v["attn"]["qkv2"]["bias"].astype(dt),
+                v["attn"]["proj_x"]["kernel"].astype(dt),
+                v["attn"]["proj_x"]["bias"].astype(dt),
+                v["attn"]["proj_c"]["kernel"].astype(dt),
+                v["attn"]["proj_c"]["bias"].astype(dt),
+                v["norm2"]["scale"], v["norm2"]["bias"],
+                v["mlp"]["fc1"]["kernel"].astype(dt),
+                v["mlp"]["fc1"]["bias"].astype(dt),
+                v["mlp"]["fc2"]["kernel"].astype(dt),
+                v["mlp"]["fc2"]["bias"].astype(dt),
+            )
+            return pallas_block.dca_block(
+                x, c, params, num_heads=self.num_heads,
+                scale_x=scale_x, scale_c=scale_c)
+        except (KeyError, TypeError):
+            return None
+
+    def _try_fused_s(self, x, c, deterministic):
+        """Whole-block fused Pallas kernel (inference): reads x from HBM
+        once instead of ~16 times. Only on the pre-norm, no-layer-scale,
+        deterministic path; numerics match the composition (tested)."""
+        if not self._fusable(deterministic):
+            return None
+        try:
+            from lemevit_tpu.attn import pallas_block
+            v = self.variables["params"]
+            dt = self.dtype
+            params = (
+                v["norm1"]["scale"], v["norm1"]["bias"],
+                v["attn"]["qkv"]["kernel"].astype(dt),
+                v["attn"]["qkv"]["bias"].astype(dt),
+                v["attn"]["proj"]["kernel"].astype(dt),
+                v["attn"]["proj"]["bias"].astype(dt),
+                v["norm2"]["scale"], v["norm2"]["bias"],
+                v["mlp"]["fc1"]["kernel"].astype(dt),
+                v["mlp"]["fc1"]["bias"].astype(dt),
+                v["mlp"]["fc2"]["kernel"].astype(dt),
+                v["mlp"]["fc2"]["bias"].astype(dt),
+            )
+            return pallas_block.s_block(x, c, params,
+                                        num_heads=self.num_heads)
+        except (KeyError, TypeError):
+            return None
 
 
 class LeMeViT(nn.Module):

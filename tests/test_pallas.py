@@ -174,3 +174,52 @@ def test_model_with_pallas_backend_matches_xla():
     out_p = m_p.apply(v, x)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_s_block_matches_composition():
+    """Whole-block fused kernel vs the unfused module composition."""
+    from lemevit_tpu.attn import pallas_block
+    from lemevit_tpu.models.lemevit import LeMeBlock
+    monkey = pytest.MonkeyPatch()
+    monkey.setattr(pallas_block, "_INTERPRET", True)
+    try:
+        blk_x = LeMeBlock(dim=C, num_heads=H, attn_type="S",
+                          attn_backend="xla")
+        blk_p = LeMeBlock(dim=C, num_heads=H, attn_type="S",
+                          attn_backend="pallas")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, C))
+        c = jax.random.normal(jax.random.PRNGKey(1), (2, 16, C))
+        v = blk_x.init(jax.random.PRNGKey(2), x, c)
+        xo1, co1 = blk_x.apply(v, x, c)
+        xo2, co2 = blk_p.apply(v, x, c)
+        np.testing.assert_allclose(np.asarray(xo2), np.asarray(xo1),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(co2), np.asarray(co1),
+                                   rtol=2e-5, atol=2e-5)
+    finally:
+        monkey.undo()
+
+
+def test_fused_dca_block_matches_composition():
+    from lemevit_tpu.attn import pallas_block
+    from lemevit_tpu.models.lemevit import LeMeBlock
+    monkey = pytest.MonkeyPatch()
+    monkey.setattr(pallas_block, "_INTERPRET", True)
+    try:
+        blk_x = LeMeBlock(dim=C, num_heads=H, attn_type="D",
+                          attn_backend="xla")
+        blk_p = LeMeBlock(dim=C, num_heads=H, attn_type="D",
+                          attn_backend="pallas")
+        # 16x16 map -> N=256 single tile; also test multi-tile via 32x32
+        for hw in (16, 32):
+            x = jax.random.normal(jax.random.PRNGKey(0), (2, hw, hw, C))
+            c = jax.random.normal(jax.random.PRNGKey(1), (2, 16, C))
+            v = blk_x.init(jax.random.PRNGKey(2), x, c)
+            xo1, co1 = blk_x.apply(v, x, c)
+            xo2, co2 = blk_p.apply(v, x, c)
+            np.testing.assert_allclose(np.asarray(xo2), np.asarray(xo1),
+                                       rtol=3e-5, atol=3e-5)
+            np.testing.assert_allclose(np.asarray(co2), np.asarray(co1),
+                                       rtol=3e-5, atol=3e-5)
+    finally:
+        monkey.undo()
