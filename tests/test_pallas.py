@@ -14,9 +14,10 @@ from lemevit_tpu.attn import reference as ref
 
 @pytest.fixture(autouse=True)
 def _interpret(monkeypatch):
-    from lemevit_tpu.attn import pallas_mhsa
+    from lemevit_tpu.attn import pallas_block, pallas_mhsa
     monkeypatch.setattr(pallas_dca, "_INTERPRET", True)
     monkeypatch.setattr(pallas_mhsa, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_block, "_INTERPRET", True)
 
 
 H, D = 2, 32
