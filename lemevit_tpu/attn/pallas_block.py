@@ -45,9 +45,23 @@ def _ln(t, scale, bias, eps=1e-6):
     return out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
 
 
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 polynomial erf (|err| < 1.5e-7).
+    Pallas TPU has no erf primitive; this keeps exact-GELU parity well
+    inside bf16/fp32 activation tolerance using only exp."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu(t):
-    # exact erf GELU in fp32 (parity with torch nn.GELU)
-    return 0.5 * t * (1.0 + jax.lax.erf(t / jnp.sqrt(2.0).astype(t.dtype)))
+    # exact (erf-form) GELU in fp32 (parity with torch nn.GELU)
+    t32 = t.astype(jnp.float32)
+    return (0.5 * t32 * (1.0 + _erf(t32 * 0.7071067811865476))).astype(
+        t.dtype)
 
 
 def _attn_rows(q, k, v, scale, num_heads, head_dim, out_dtype):

@@ -112,9 +112,24 @@ def run_train(args, model, variables, x) -> dict:
         state, metrics = run(state)
     _force(metrics)
     dt = (time.perf_counter() - t0) / args.num_bench_iter
+
+    # fwd-only time for the fwd/bwd+opt breakdown (the reference's
+    # TrainBenchmarkRunner surface, benchmark.py:549-670)
+    fwd = jax.jit(lambda v, xx: model.apply(
+        {"params": v, "batch_stats": state.batch_stats} if
+        jax.tree.leaves(state.batch_stats) else {"params": v},
+        xx, train=False))
+    _force(fwd(state.params, x))
+    t0 = time.perf_counter()
+    for _ in range(args.num_bench_iter):
+        out = fwd(state.params, x)
+    _force(out)
+    dt_fwd = (time.perf_counter() - t0) / args.num_bench_iter
     return {
         "samples_per_sec": round(args.batch_size / dt, 2),
         "step_time": round(dt * 1000, 3),
+        "fwd_time": round(dt_fwd * 1000, 3),
+        "bwd_opt_time": round((dt - dt_fwd) * 1000, 3),
         "batch_size": args.batch_size,
     }
 

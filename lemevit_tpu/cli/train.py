@@ -75,6 +75,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default="")
     p.add_argument("--no-auto-resume", action="store_true")
     p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--summary", action="store_true",
+                   help="print per-module param table + analytic GMACs")
     p.add_argument("--eval-interval", type=int, default=1)
     p.add_argument("--steps-per-epoch", type=int, default=0,
                    help="override (mainly for synthetic smoke runs)")
@@ -170,6 +172,18 @@ def train(args, args_text: str = ""):
             model, jax.random.PRNGKey(args.seed),
             (2, args.img_size, args.img_size, 3), tx,
             ema_decay=args.model_ema_decay if args.model_ema else 0.0)
+        if args.summary:
+            from lemevit_tpu.utils.profiling import cost_analysis, \
+                model_summary
+            logger.info("\n%s", model_summary(model, state.variables))
+            try:
+                c = cost_analysis(
+                    lambda v, xx: model.apply(v, xx, train=False),
+                    state.variables,
+                    jnp.zeros((1, args.img_size, args.img_size, 3)))
+                logger.info("analytic GMACs/image: %.2f", c["gmacs"])
+            except Exception:  # noqa: BLE001
+                pass
         if args.initial_checkpoint:
             variables = load_pretrained(model, args.initial_checkpoint)
             state = state.replace(
