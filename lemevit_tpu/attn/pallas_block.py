@@ -240,11 +240,9 @@ def _dca_block_kernel(x_ref, c_ref,
 
     @pl.when(t == n_tiles - 1)
     def _():
-        attn_c = jnp.zeros_like(acc_scr)
-        for h in range(num_heads):
-            sl = slice(h * head_dim, (h + 1) * head_dim)
-            attn_c = attn_c.at[:, sl].set(
-                acc_scr[:, sl] / l_scr[:, h:h + 1])
+        attn_c = jnp.concatenate(
+            [acc_scr[:, h * head_dim:(h + 1) * head_dim]
+             / l_scr[:, h:h + 1] for h in range(num_heads)], axis=-1)
         oc = jax.lax.dot_general(
             attn_c.astype(dtype), wpc_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
