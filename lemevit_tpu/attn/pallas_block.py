@@ -96,7 +96,11 @@ def _s_block_kernel(x_ref, c_ref,
                     ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
                     ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                     xo_ref, co_ref, *,
-                    scale: float, num_heads: int, head_dim: int):
+                    scale: float, num_heads: int, head_dim: int,
+                    rows: int, n: int, m: int):
+    """rows = batch rows folded into one grid step: the dense matmuls run on
+    (rows*n, C) — per-step op overhead amortizes — while attention loops
+    (row, head) pairs with independent softmaxes."""
     dtype = x_ref.dtype
     c_dim = x_ref.shape[-1]
     ln1s, ln1b = ln1s_ref[0], ln1b_ref[0]
@@ -106,7 +110,7 @@ def _s_block_kernel(x_ref, c_ref,
     w1, b1 = w1_ref[:], b1_ref[0]
     w2, b2 = w2_ref[:], b2_ref[0]
 
-    def branch(t):
+    def branch(t, seq):
         a = _ln(t, ln1s, ln1b).astype(dtype)
         qkv = jax.lax.dot_general(
             a, wqkv, (((1,), (0,)), ((), ())),
@@ -115,7 +119,12 @@ def _s_block_kernel(x_ref, c_ref,
         q = qkv[:, :c_dim]
         k = qkv[:, c_dim:2 * c_dim]
         v = qkv[:, 2 * c_dim:]
-        o = _attn_rows(q, k, v, scale, num_heads, head_dim, dtype)
+        outs = []
+        for r in range(rows):
+            rs = slice(r * seq, (r + 1) * seq)
+            outs.append(_attn_rows(q[rs], k[rs], v[rs], scale, num_heads,
+                                   head_dim, dtype))
+        o = jnp.concatenate(outs, axis=0) if rows > 1 else outs[0]
         o = jax.lax.dot_general(o, wp, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         t1 = t.astype(jnp.float32) + o + bp.astype(jnp.float32)
@@ -123,13 +132,27 @@ def _s_block_kernel(x_ref, c_ref,
                             dtype)
         return out.astype(dtype)
 
-    xo_ref[0] = branch(x_ref[0])
-    co_ref[0] = branch(c_ref[0])
+    xo_ref[:] = branch(x_ref[:].reshape(rows * n, c_dim),
+                       n).reshape(rows, n, c_dim)
+    co_ref[:] = branch(c_ref[:].reshape(rows * m, c_dim),
+                       m).reshape(rows, m, c_dim)
 
 
 def _weight_specs(shapes):
     return [pl.BlockSpec(s, lambda bi: tuple([0] * len(s)),
                          memory_space=pltpu.VMEM) for s in shapes]
+
+
+def _pick_rows(b: int, n: int, ch: int, hidden: int) -> int:
+    """Batch rows per grid step, bounded by a ~9MB VMEM activation budget."""
+    per_row = 2 * (2 * n * ch + 3 * n * ch + n * max(hidden, ch))
+    budget = 9 * 1024 * 1024
+    rows = 1
+    for r in (16, 8, 4, 2):
+        if b % r == 0 and per_row * r < budget:
+            rows = r
+            break
+    return rows
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "num_heads"))
@@ -139,20 +162,22 @@ def _s_block_call(x, c, params, scale, num_heads):
     d = ch // num_heads
     (ln1s, ln1b, wqkv, bqkv, wp, bp, ln2s, ln2b, w1, b1, w2, b2) = params
     hidden = w1.shape[1]
+    rows = _pick_rows(b, n, ch, hidden)
     # biases/LN params as (1, C) rows for TPU 2D layout
     row = lambda t: t.reshape(1, -1)
     weights = [row(ln1s), row(ln1b), wqkv, row(bqkv), wp, row(bp),
                row(ln2s), row(ln2b), w1, row(b1), w2, row(b2)]
     kernel = functools.partial(_s_block_kernel, scale=float(scale),
-                               num_heads=num_heads, head_dim=d)
-    x_spec = pl.BlockSpec((1, n, ch), lambda bi: (bi, 0, 0),
+                               num_heads=num_heads, head_dim=d,
+                               rows=rows, n=n, m=m)
+    x_spec = pl.BlockSpec((rows, n, ch), lambda bi: (bi, 0, 0),
                           memory_space=pltpu.VMEM)
-    c_spec = pl.BlockSpec((1, m, ch), lambda bi: (bi, 0, 0),
+    c_spec = pl.BlockSpec((rows, m, ch), lambda bi: (bi, 0, 0),
                           memory_space=pltpu.VMEM)
     w_specs = _weight_specs([w.shape for w in weights])
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // rows,),
         in_specs=[x_spec, c_spec] + w_specs,
         out_specs=[x_spec, c_spec],
         out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -253,7 +278,16 @@ def _dca_block_kernel(x_ref, c_ref,
         co_ref[0] = co.astype(dtype)
 
 
-def _pick_tile(n: int) -> int:
+def _pick_tile(n: int, c: int = 0, hidden: int = 0) -> int:
+    """Prefer the whole row in one tile when it fits VMEM: per-grid-step op
+    overhead (~0.5us x ~16 ops) dominates at small tiles, and a single tile
+    also collapses the online softmax to one pass."""
+    if c:
+        # rough VMEM bytes for the dca/s block at tile=n (bf16 activations)
+        need = 2 * (2 * n * c + 3 * n * c + n * max(hidden, 4 * c)) \
+            + n * c * 4
+        if n <= 4096 and need < 10 * 1024 * 1024 and n % 8 == 0:
+            return n
     if n <= 512 and n % 16 == 0:
         return n
     for tile in (512, 448, 256, 224, 128, 112):
@@ -268,7 +302,7 @@ def _dca_block_call(x, c, params, scale_x, scale_c, num_heads):
     b, n, ch = x.shape
     m = c.shape[1]
     d = ch // num_heads
-    tile_n = _pick_tile(n)
+    tile_n = _pick_tile(n, ch, params[12].shape[1])
     n_tiles = pl.cdiv(n, tile_n)
     row = lambda t: t.reshape(1, -1)
     (ln1s, ln1b, wqkv1, bqkv1, wqkv2, bqkv2, wpx, bpx, wpc, bpc,
@@ -314,10 +348,128 @@ def dca_block(x, c, params, *, num_heads: int, scale_x: float,
         return None
     b, n, ch = x.shape
     if (c.shape[1] % 8 != 0 or ch % num_heads != 0
-            or _pick_tile(n) == 0):
+            or _pick_tile(n, ch, params[12].shape[1]) == 0):
         return None
     return tuple(_dca_block_call(x, c, tuple(params), scale_x, scale_c,
                                  num_heads))
+
+
+def _c_block_kernel(x_ref, c_ref,
+                    ln1s_ref, ln1b_ref, wq_ref, bq_ref, wkv_ref, bkv_ref,
+                    wp_ref, bp_ref, ln2s_ref, ln2b_ref,
+                    w1_ref, b1_ref, w2_ref, b2_ref,
+                    co_ref,
+                    q_scr, m_scr, l_scr, acc_scr,
+                    *, scale: float, n_tiles: int, num_heads: int,
+                    head_dim: int):
+    """Meta-token init ("C") block: only c is produced; x streams once and
+    is never written (ref lemevit.py:584-613)."""
+    t = pl.program_id(1)
+    dtype = x_ref.dtype
+    c_dim = x_ref.shape[-1]
+    ln1s, ln1b = ln1s_ref[0], ln1b_ref[0]
+
+    @pl.when(t == 0)
+    def _():
+        ca = _ln(c_ref[0], ln1s, ln1b).astype(dtype)
+        q = jax.lax.dot_general(ca, wq_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        q_scr[:] = (q + bq_ref[0].astype(jnp.float32)).astype(dtype)
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    xa = _ln(x_ref[0], ln1s, ln1b).astype(dtype)
+    kv = jax.lax.dot_general(xa, wkv_ref[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    kv = (kv + bkv_ref[0].astype(jnp.float32)).astype(dtype)
+    k = kv[:, :c_dim]
+    v = kv[:, c_dim:]
+
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s = jax.lax.dot_general(
+            q_scr[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        hs = slice(h, h + 1)
+        m_prev = m_scr[:, hs]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(s - m_cur)
+        l_scr[:, hs] = l_scr[:, hs] * alpha + jnp.sum(p, axis=1,
+                                                      keepdims=True)
+        acc_scr[:, sl] = acc_scr[:, sl] * alpha + jax.lax.dot_general(
+            p.astype(dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:, hs] = m_cur
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        attn_c = jnp.concatenate(
+            [acc_scr[:, h * head_dim:(h + 1) * head_dim]
+             / l_scr[:, h:h + 1] for h in range(num_heads)], axis=-1)
+        oc = jax.lax.dot_general(
+            attn_c.astype(dtype), wp_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        c1 = c_ref[0].astype(jnp.float32) + oc + bp_ref[0].astype(
+            jnp.float32)
+        co = _mlp_residual(c1.astype(dtype), w1_ref[:], b1_ref[0],
+                           w2_ref[:], b2_ref[0], ln2s_ref[0], ln2b_ref[0],
+                           dtype)
+        co_ref[0] = co.astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "num_heads"))
+def _c_block_call(x, c, params, scale, num_heads):
+    b, n, ch = x.shape
+    m = c.shape[1]
+    d = ch // num_heads
+    tile_n = _pick_tile(n, ch, 0)
+    n_tiles = pl.cdiv(n, tile_n)
+    row = lambda t: t.reshape(1, -1)
+    (ln1s, ln1b, wq, bq, wkv, bkv, wp, bp, ln2s, ln2b,
+     w1, b1, w2, b2) = params
+    weights = [row(ln1s), row(ln1b), wq, row(bq), wkv, row(bkv),
+               wp, row(bp), row(ln2s), row(ln2b), w1, row(b1), w2, row(b2)]
+    kernel = functools.partial(_c_block_kernel, scale=float(scale),
+                               n_tiles=n_tiles, num_heads=num_heads,
+                               head_dim=d)
+    x_spec = pl.BlockSpec((1, tile_n, ch), lambda bi, ti: (bi, ti, 0),
+                          memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((1, m, ch), lambda bi, ti: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_specs = [pl.BlockSpec(w.shape, lambda bi, ti, s=w.shape:
+                            tuple([0] * len(s)), memory_space=pltpu.VMEM)
+               for w in weights]
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[x_spec, c_spec] + w_specs,
+        out_specs=[c_spec],
+        out_shape=[jax.ShapeDtypeStruct(c.shape, c.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((m, ch), x.dtype),
+            pltpu.VMEM((m, num_heads), jnp.float32),
+            pltpu.VMEM((m, num_heads), jnp.float32),
+            pltpu.VMEM((m, ch), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(x, c, *weights)[0]
+
+
+def c_block(x, c, params, *, num_heads: int) -> Optional[jax.Array]:
+    """Fused C-type LeMeBlock: returns the new c only. params =
+    (ln1_s, ln1_b, Wq, bq, Wkv, bkv, Wproj, bproj, ln2_s, ln2_b,
+    W1, b1, W2, b2)."""
+    if not HAS_PLTPU:
+        return None
+    b, n, ch = x.shape
+    d = ch // num_heads
+    if (c.shape[1] % 8 != 0 or ch % num_heads != 0
+            or _pick_tile(n, ch, 0) == 0):
+        return None
+    scale = d ** -0.5
+    return _c_block_call(x, c, tuple(params), scale, num_heads)
 
 
 def s_block(x, c, params, *, num_heads: int

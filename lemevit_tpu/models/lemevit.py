@@ -140,11 +140,15 @@ class LeMeBlock(nn.Module):
             # x passes through unchanged (ref :584-613: x restored after CPE);
             # CPE-shifted tokens feed the attention's k/v only.
             xt = self._cpe(x).reshape(b, h * w, ch)
-            if self.pre_norm:
-                ac = self.attn(self.norm1(xt), self.norm1(c))
+            c_fused = self._try_fused_c(xt, c, deterministic)
+            if c_fused is not None:
+                c = c_fused
             else:
-                ac = self.attn(xt, c)
-            c = self._residual_update(c, ac, None, deterministic)
+                if self.pre_norm:
+                    ac = self.attn(self.norm1(xt), self.norm1(c))
+                else:
+                    ac = self.attn(xt, c)
+                c = self._residual_update(c, ac, None, deterministic)
         else:  # "S": self-attention applied separately to x AND c,
             # with the same (shared) attention + MLP weights (ref :615-650).
             x = self._cpe(x).reshape(b, h * w, ch)
@@ -197,6 +201,33 @@ class LeMeBlock(nn.Module):
             return pallas_block.dca_block(
                 x, c, params, num_heads=self.num_heads,
                 scale_x=scale_x, scale_c=scale_c)
+        except (KeyError, TypeError):
+            return None
+
+    def _try_fused_c(self, xt, c, deterministic):
+        """Fused C-type kernel: x streams HBM once and is never written."""
+        if self.attn_type != "C" or not self._fusable(deterministic):
+            return None
+        from lemevit_tpu.attn import pallas_block
+        try:
+            v = self.variables["params"]
+            dt = self.dtype
+            params = (
+                v["norm1"]["scale"], v["norm1"]["bias"],
+                v["attn"]["q"]["kernel"].astype(dt),
+                v["attn"]["q"]["bias"].astype(dt),
+                v["attn"]["kv"]["kernel"].astype(dt),
+                v["attn"]["kv"]["bias"].astype(dt),
+                v["attn"]["proj"]["kernel"].astype(dt),
+                v["attn"]["proj"]["bias"].astype(dt),
+                v["norm2"]["scale"], v["norm2"]["bias"],
+                v["mlp"]["fc1"]["kernel"].astype(dt),
+                v["mlp"]["fc1"]["bias"].astype(dt),
+                v["mlp"]["fc2"]["kernel"].astype(dt),
+                v["mlp"]["fc2"]["bias"].astype(dt),
+            )
+            return pallas_block.c_block(xt, c, params,
+                                        num_heads=self.num_heads)
         except (KeyError, TypeError):
             return None
 

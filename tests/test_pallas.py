@@ -224,3 +224,51 @@ def test_fused_dca_block_matches_composition():
                                        rtol=3e-5, atol=3e-5)
     finally:
         monkey.undo()
+
+
+def test_fused_c_block_matches_composition():
+    from lemevit_tpu.attn import pallas_block
+    from lemevit_tpu.models.lemevit import LeMeBlock
+    monkey = pytest.MonkeyPatch()
+    monkey.setattr(pallas_block, "_INTERPRET", True)
+    try:
+        blk_x = LeMeBlock(dim=C, num_heads=H, attn_type="C",
+                          attn_backend="xla")
+        blk_p = LeMeBlock(dim=C, num_heads=H, attn_type="C",
+                          attn_backend="pallas")
+        for hw in (16, 32):  # single- and multi-tile
+            x = jax.random.normal(jax.random.PRNGKey(0), (2, hw, hw, C))
+            c = jax.random.normal(jax.random.PRNGKey(1), (2, 16, C))
+            v = blk_x.init(jax.random.PRNGKey(2), x, c)
+            xo1, co1 = blk_x.apply(v, x, c)
+            xo2, co2 = blk_p.apply(v, x, c)
+            np.testing.assert_array_equal(np.asarray(xo2), np.asarray(x))
+            np.testing.assert_allclose(np.asarray(co2), np.asarray(co1),
+                                       rtol=3e-5, atol=3e-5)
+    finally:
+        monkey.undo()
+
+
+def test_fused_s_block_row_folding():
+    """rows>1 path: batch 8 at tiny N so _pick_rows folds rows."""
+    from lemevit_tpu.attn import pallas_block
+    monkey = pytest.MonkeyPatch()
+    monkey.setattr(pallas_block, "_INTERPRET", True)
+    try:
+        from lemevit_tpu.models.lemevit import LeMeBlock
+        blk_x = LeMeBlock(dim=C, num_heads=H, attn_type="S",
+                          attn_backend="xla")
+        blk_p = LeMeBlock(dim=C, num_heads=H, attn_type="S",
+                          attn_backend="pallas")
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 8, 8, C))
+        c = jax.random.normal(jax.random.PRNGKey(1), (8, 16, C))
+        v = blk_x.init(jax.random.PRNGKey(2), x, c)
+        assert pallas_block._pick_rows(8, 64, C, 2 * C) > 1
+        xo1, co1 = blk_x.apply(v, x, c)
+        xo2, co2 = blk_p.apply(v, x, c)
+        np.testing.assert_allclose(np.asarray(xo2), np.asarray(xo1),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(co2), np.asarray(co1),
+                                   rtol=2e-5, atol=2e-5)
+    finally:
+        monkey.undo()
