@@ -233,6 +233,8 @@ def train(args, args_text: str = ""):
             logits = model.apply(variables, normalize(images_u8), train=False)
             return eval_metrics(logits, labels)
 
+        from lemevit_tpu.utils.events import EventWriter
+        events = EventWriter(out_dir, enabled=jax.process_index() == 0)
         rng = jax.random.PRNGKey(args.seed + 1)
         summary_path = os.path.join(out_dir, "summary.csv")
         best_top1 = -1.0
@@ -264,6 +266,7 @@ def train(args, args_text: str = ""):
                     m = {k: float(v) for k, v in metrics.items()}
                     m["lr"] = float(sched(int(state.step)))
                     tracker.update(m)
+                    events.log(int(state.step), m)
                     logger.info(
                         "epoch %d step %d/%d loss %.4f gnorm %.2f lr %.2e",
                         epoch, step_i, steps_per_epoch, m["loss"],

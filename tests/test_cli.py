@@ -79,3 +79,14 @@ def test_config_yaml_two_stage(tmp_path):
     bad.write_text("nope: 1\n")
     with pytest.raises(ValueError):
         parse_args_with_config(p, ["-c", str(bad)])
+
+
+def test_events_jsonl_written(tmp_path):
+    from lemevit_tpu.utils.events import EventWriter
+    w = EventWriter(str(tmp_path))
+    w.log(1, {"loss": 0.5})
+    w.log(2, {"loss": 0.25, "lr": 1e-3})
+    lines = open(tmp_path / "events.jsonl").read().strip().split("\n")
+    assert len(lines) == 2
+    rec = json.loads(lines[1])
+    assert rec["step"] == 2 and rec["loss"] == 0.25
