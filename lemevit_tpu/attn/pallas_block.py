@@ -144,7 +144,13 @@ def _weight_specs(shapes):
 
 
 def _pick_rows(b: int, n: int, ch: int, hidden: int) -> int:
-    """Batch rows per grid step, bounded by a ~9MB VMEM activation budget."""
+    """Batch rows per grid step, bounded by a ~9MB VMEM activation budget.
+
+    C=320 is blocklisted: the (rows,N,C)->(rows*N,C) in-kernel reshape
+    crashes the Mosaic compiler at that width (192/384/512 verified fine on
+    v5e; empirically bisected)."""
+    if ch == 320:
+        return 1
     per_row = 2 * (2 * n * ch + 3 * n * ch + n * max(hidden, ch))
     budget = 9 * 1024 * 1024
     rows = 1
