@@ -51,8 +51,9 @@ def _ln(t, scale, bias, eps=1e-6):
 def _erf(x):
     """Abramowitz-Stegun 7.1.26 polynomial erf (|err| < 1.5e-7).
     Pallas TPU has no erf primitive; this keeps exact-GELU parity well
-    inside bf16/fp32 activation tolerance using only exp."""
-    sign = jnp.sign(x)
+    inside bf16/fp32 activation tolerance using only exp. The sign is
+    extracted via an fp32 comparison (Mosaic rejects bf16 vector cmpf)."""
+    sign = jnp.sign(x.astype(jnp.float32)).astype(x.dtype)
     ax = jnp.abs(x)
     one = jnp.asarray(1.0, x.dtype)
     t = one / (one + jnp.asarray(0.3275911, x.dtype) * ax)
@@ -66,6 +67,33 @@ def _gelu(t):
     # fp32; |bf16 eval err| << bf16 representation error of the result
     return 0.5 * t * (1.0 + _erf(t * jnp.asarray(0.7071067811865476,
                                                  t.dtype))).astype(t.dtype)
+
+
+def _cpe_flat(xt, wc, bc, hh, ww):
+    """Conditional position embedding fused on the flat (N, C) tile:
+    x + depthwise3x3(x) expressed as 9 masked row-shifted adds (N = H*W,
+    y-shift == shift by W flat rows). Matches a padding-1 depthwise conv.
+    wc: (9, C) taps in (ky, kx) order; bc: (1, C)."""
+    try:
+        from jax.experimental.pallas import tpu as pltpu_mod
+        roll = pltpu_mod.roll
+    except ImportError:  # pragma: no cover
+        roll = lambda a, shift, axis: jnp.roll(a, shift, axis)
+    n, c = xt.shape
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    xcol = row_ids % ww
+    acc = bc.astype(xt.dtype) * jnp.ones((n, 1), xt.dtype)
+    for ky in range(3):
+        for kx in range(3):
+            dy, dx = ky - 1, kx - 1
+            s = dy * ww + dx
+            # roll requires a non-negative shift: -s mod n
+            shifted = xt if s == 0 else roll(xt, (-s) % n, 0)
+            valid = ((xcol + dx >= 0) & (xcol + dx < ww)
+                     & (row_ids + s >= 0) & (row_ids + s < n))
+            tap = wc[ky * 3 + kx].astype(xt.dtype)
+            acc = acc + jnp.where(valid, shifted, jnp.zeros_like(xt)) * tap
+    return xt + acc
 
 
 def _attn_rows(q, k, v, scale, num_heads, head_dim, out_dtype):
@@ -98,9 +126,11 @@ def _mlp_residual(t, w1, b1, w2, b2, ln_s, ln_b, dtype):
 def _s_block_kernel(x_ref, c_ref,
                     ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
                     ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    wcpe_ref, bcpe_ref,
                     xo_ref, co_ref, *,
                     scale: float, num_heads: int, head_dim: int,
-                    rows: int, n: int, m: int):
+                    rows: int, n: int, m: int, use_cpe: bool,
+                    img_w: int):
     """rows = batch rows folded into one grid step: the dense matmuls run on
     (rows*n, C) — per-step op overhead amortizes — while attention loops
     (row, head) pairs with independent softmaxes."""
@@ -133,8 +163,14 @@ def _s_block_kernel(x_ref, c_ref,
         t1 = t + (o + bp.astype(jnp.float32)).astype(dtype)
         return _mlp_residual(t1, w1, b1, w2, b2, ln2s, ln2b, dtype)
 
-    xo_ref[:] = branch(x_ref[:].reshape(rows * n, c_dim),
-                       n).reshape(rows, n, c_dim)
+    if use_cpe:
+        # CPE per image row (shifts must not cross images)
+        xs = [_cpe_flat(x_ref[r], wcpe_ref[:], bcpe_ref[0],
+                        n // img_w, img_w) for r in range(rows)]
+        xflat = jnp.concatenate(xs, axis=0) if rows > 1 else xs[0]
+    else:
+        xflat = x_ref[:].reshape(rows * n, c_dim)
+    xo_ref[:] = branch(xflat, n).reshape(rows, n, c_dim)
     co_ref[:] = branch(c_ref[:].reshape(rows * m, c_dim),
                        m).reshape(rows, m, c_dim)
 
@@ -162,8 +198,9 @@ def _pick_rows(b: int, n: int, ch: int, hidden: int) -> int:
     return rows
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "num_heads"))
-def _s_block_call(x, c, params, scale, num_heads):
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "num_heads", "img_w"))
+def _s_block_call(x, c, params, scale, num_heads, cpe=None, img_w=0):
     b, n, ch = x.shape
     m = c.shape[1]
     d = ch // num_heads
@@ -172,11 +209,18 @@ def _s_block_call(x, c, params, scale, num_heads):
     rows = _pick_rows(b, n, ch, hidden)
     # biases/LN params as (1, C) rows for TPU 2D layout
     row = lambda t: t.reshape(1, -1)
+    if cpe is None:
+        wcpe = jnp.zeros((9, ch), x.dtype)
+        bcpe = jnp.zeros((1, ch), x.dtype)
+    else:
+        wcpe, bcpe = cpe[0], row(cpe[1])
     weights = [row(ln1s), row(ln1b), wqkv, row(bqkv), wp, row(bp),
-               row(ln2s), row(ln2b), w1, row(b1), w2, row(b2)]
+               row(ln2s), row(ln2b), w1, row(b1), w2, row(b2),
+               wcpe, bcpe]
     kernel = functools.partial(_s_block_kernel, scale=float(scale),
                                num_heads=num_heads, head_dim=d,
-                               rows=rows, n=n, m=m)
+                               rows=rows, n=n, m=m,
+                               use_cpe=cpe is not None, img_w=img_w or 1)
     x_spec = pl.BlockSpec((rows, n, ch), lambda bi: (bi, 0, 0),
                           memory_space=pltpu.VMEM)
     c_spec = pl.BlockSpec((rows, m, ch), lambda bi: (bi, 0, 0),
@@ -198,10 +242,12 @@ def _dca_block_kernel(x_ref, c_ref,
                       wqkv1_ref, bqkv1_ref, wqkv2_ref, bqkv2_ref,
                       wpx_ref, bpx_ref, wpc_ref, bpc_ref,
                       ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                      wcpe_ref, bcpe_ref,
                       xo_ref, co_ref,
                       q2_scr, k2_scr, v2_scr, m_scr, l_scr, acc_scr,
                       *, scale_x: float, scale_c: float, n_tiles: int,
-                      num_heads: int, head_dim: int):
+                      num_heads: int, head_dim: int, use_cpe: bool,
+                      img_w: int):
     t = pl.program_id(1)
     dtype = x_ref.dtype
     c_dim = x_ref.shape[-1]
@@ -224,6 +270,9 @@ def _dca_block_kernel(x_ref, c_ref,
 
     # ---- image-token tile path
     xt = x_ref[0]
+    if use_cpe:  # only engaged when the tile spans the whole image
+        xt = _cpe_flat(xt, wcpe_ref[:], bcpe_ref[0],
+                       xt.shape[0] // img_w, img_w)
     xa = _ln(xt, ln1s, ln1b).astype(dtype)
     qkv1 = jax.lax.dot_general(
         xa, wqkv1_ref[:], (((1,), (0,)), ((), ())),
@@ -303,8 +352,10 @@ def _pick_tile(n: int, c: int = 0, hidden: int = 0) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("scale_x", "scale_c", "num_heads"))
-def _dca_block_call(x, c, params, scale_x, scale_c, num_heads):
+                   static_argnames=("scale_x", "scale_c", "num_heads",
+                                    "img_w"))
+def _dca_block_call(x, c, params, scale_x, scale_c, num_heads, cpe=None,
+                    img_w=0):
     b, n, ch = x.shape
     m = c.shape[1]
     d = ch // num_heads
@@ -313,12 +364,18 @@ def _dca_block_call(x, c, params, scale_x, scale_c, num_heads):
     row = lambda t: t.reshape(1, -1)
     (ln1s, ln1b, wqkv1, bqkv1, wqkv2, bqkv2, wpx, bpx, wpc, bpc,
      ln2s, ln2b, w1, b1, w2, b2) = params
+    if cpe is None:
+        wcpe = jnp.zeros((9, ch), x.dtype)
+        bcpe = jnp.zeros((1, ch), x.dtype)
+    else:
+        wcpe, bcpe = cpe[0], row(cpe[1])
     weights = [row(ln1s), row(ln1b), wqkv1, row(bqkv1), wqkv2, row(bqkv2),
                wpx, row(bpx), wpc, row(bpc), row(ln2s), row(ln2b),
-               w1, row(b1), w2, row(b2)]
+               w1, row(b1), w2, row(b2), wcpe, bcpe]
     kernel = functools.partial(
         _dca_block_kernel, scale_x=float(scale_x), scale_c=float(scale_c),
-        n_tiles=n_tiles, num_heads=num_heads, head_dim=d)
+        n_tiles=n_tiles, num_heads=num_heads, head_dim=d,
+        use_cpe=cpe is not None, img_w=img_w or 1)
     x_spec = pl.BlockSpec((1, tile_n, ch), lambda bi, ti: (bi, ti, 0),
                           memory_space=pltpu.VMEM)
     c_spec = pl.BlockSpec((1, m, ch), lambda bi, ti: (bi, 0, 0),
@@ -346,28 +403,33 @@ def _dca_block_call(x, c, params, scale_x, scale_c, num_heads):
 
 
 def dca_block(x, c, params, *, num_heads: int, scale_x: float,
-              scale_c: float) -> Optional[Tuple[jax.Array, jax.Array]]:
-    """Fused D-type LeMeBlock (post-CPE, pre-norm). params =
+              scale_c: float, cpe=None, img_w: int = 0
+              ) -> Optional[Tuple[jax.Array, jax.Array]]:
+    """Fused D-type LeMeBlock (pre-norm). params =
     (ln1_s, ln1_b, Wqkv1, bqkv1, Wqkv2, bqkv2, Wproj_x, bproj_x, Wproj_c,
-    bproj_c, ln2_s, ln2_b, W1, b1, W2, b2)."""
+    bproj_c, ln2_s, ln2_b, W1, b1, W2, b2). With cpe/img_w the 3x3 CPE
+    fuses in (pass PRE-CPE tokens); requires the whole image in one tile."""
     if not HAS_PLTPU:
         return None
     b, n, ch = x.shape
-    if (c.shape[1] % 8 != 0 or ch % num_heads != 0
-            or _pick_tile(n, ch, params[12].shape[1]) == 0):
+    tile = _pick_tile(n, ch, params[12].shape[1])
+    if c.shape[1] % 8 != 0 or ch % num_heads != 0 or tile == 0:
         return None
+    if cpe is not None and tile != n:
+        return None  # fused CPE needs the full image per tile
     return tuple(_dca_block_call(x, c, tuple(params), scale_x, scale_c,
-                                 num_heads))
+                                 num_heads, cpe=cpe, img_w=img_w))
 
 
 def _c_block_kernel(x_ref, c_ref,
                     ln1s_ref, ln1b_ref, wq_ref, bq_ref, wkv_ref, bkv_ref,
                     wp_ref, bp_ref, ln2s_ref, ln2b_ref,
                     w1_ref, b1_ref, w2_ref, b2_ref,
+                    wcpe_ref, bcpe_ref,
                     co_ref,
                     q_scr, m_scr, l_scr, acc_scr,
                     *, scale: float, n_tiles: int, num_heads: int,
-                    head_dim: int):
+                    head_dim: int, use_cpe: bool, img_w: int):
     """Meta-token init ("C") block: only c is produced; x streams once and
     is never written (ref lemevit.py:584-613)."""
     t = pl.program_id(1)
@@ -385,7 +447,11 @@ def _c_block_kernel(x_ref, c_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    xa = _ln(x_ref[0], ln1s, ln1b).astype(dtype)
+    xt = x_ref[0]
+    if use_cpe:
+        xt = _cpe_flat(xt, wcpe_ref[:], bcpe_ref[0],
+                       xt.shape[0] // img_w, img_w)
+    xa = _ln(xt, ln1s, ln1b).astype(dtype)
     kv = jax.lax.dot_general(xa, wkv_ref[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     kv = (kv + bkv_ref[0].astype(jnp.float32)).astype(dtype)
@@ -425,8 +491,9 @@ def _c_block_kernel(x_ref, c_ref,
         co_ref[0] = co.astype(dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "num_heads"))
-def _c_block_call(x, c, params, scale, num_heads):
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "num_heads", "img_w"))
+def _c_block_call(x, c, params, scale, num_heads, cpe=None, img_w=0):
     b, n, ch = x.shape
     m = c.shape[1]
     d = ch // num_heads
@@ -435,11 +502,18 @@ def _c_block_call(x, c, params, scale, num_heads):
     row = lambda t: t.reshape(1, -1)
     (ln1s, ln1b, wq, bq, wkv, bkv, wp, bp, ln2s, ln2b,
      w1, b1, w2, b2) = params
+    if cpe is None:
+        wcpe = jnp.zeros((9, ch), x.dtype)
+        bcpe = jnp.zeros((1, ch), x.dtype)
+    else:
+        wcpe, bcpe = cpe[0], row(cpe[1])
     weights = [row(ln1s), row(ln1b), wq, row(bq), wkv, row(bkv),
-               wp, row(bp), row(ln2s), row(ln2b), w1, row(b1), w2, row(b2)]
+               wp, row(bp), row(ln2s), row(ln2b), w1, row(b1), w2, row(b2),
+               wcpe, bcpe]
     kernel = functools.partial(_c_block_kernel, scale=float(scale),
                                n_tiles=n_tiles, num_heads=num_heads,
-                               head_dim=d)
+                               head_dim=d, use_cpe=cpe is not None,
+                               img_w=img_w or 1)
     x_spec = pl.BlockSpec((1, tile_n, ch), lambda bi, ti: (bi, ti, 0),
                           memory_space=pltpu.VMEM)
     c_spec = pl.BlockSpec((1, m, ch), lambda bi, ti: (bi, 0, 0),
@@ -463,26 +537,32 @@ def _c_block_call(x, c, params, scale, num_heads):
     )(x, c, *weights)[0]
 
 
-def c_block(x, c, params, *, num_heads: int) -> Optional[jax.Array]:
+def c_block(x, c, params, *, num_heads: int, cpe=None, img_w: int = 0
+            ) -> Optional[jax.Array]:
     """Fused C-type LeMeBlock: returns the new c only. params =
     (ln1_s, ln1_b, Wq, bq, Wkv, bkv, Wproj, bproj, ln2_s, ln2_b,
-    W1, b1, W2, b2)."""
+    W1, b1, W2, b2). cpe as in dca_block (pass PRE-CPE tokens)."""
     if not HAS_PLTPU:
         return None
     b, n, ch = x.shape
     d = ch // num_heads
-    if (c.shape[1] % 8 != 0 or ch % num_heads != 0
-            or _pick_tile(n, ch, 0) == 0):
+    tile = _pick_tile(n, ch, 0)
+    if c.shape[1] % 8 != 0 or ch % num_heads != 0 or tile == 0:
+        return None
+    if cpe is not None and tile != n:
         return None
     scale = d ** -0.5
-    return _c_block_call(x, c, tuple(params), scale, num_heads)
+    return _c_block_call(x, c, tuple(params), scale, num_heads, cpe=cpe,
+                         img_w=img_w)
 
 
-def s_block(x, c, params, *, num_heads: int
+def s_block(x, c, params, *, num_heads: int, cpe=None, img_w: int = 0
             ) -> Optional[Tuple[jax.Array, jax.Array]]:
-    """Fused S-type LeMeBlock (post-CPE). x (B,N,C) tokens, c (B,M,C);
-    params = (ln1_scale, ln1_bias, Wqkv, bqkv, Wproj, bproj, ln2_scale,
-    ln2_bias, W1, b1, W2, b2). Returns None if shapes don't qualify."""
+    """Fused S-type LeMeBlock. x (B,N,C) tokens, c (B,M,C); params =
+    (ln1_scale, ln1_bias, Wqkv, bqkv, Wproj, bproj, ln2_scale, ln2_bias,
+    W1, b1, W2, b2). With cpe=((9,C) taps, (C,) bias) and img_w, the 3x3
+    depthwise position embedding fuses in too (pass PRE-CPE tokens then).
+    Returns None if shapes don't qualify."""
     if not HAS_PLTPU:
         return None
     b, n, ch = x.shape
@@ -490,4 +570,5 @@ def s_block(x, c, params, *, num_heads: int
     if n > _MAX_N_SBLOCK or ch % num_heads != 0 or c.shape[1] % 8 != 0:
         return None
     scale = d ** -0.5
-    return tuple(_s_block_call(x, c, tuple(params), scale, num_heads))
+    return tuple(_s_block_call(x, c, tuple(params), scale, num_heads,
+                               cpe=cpe, img_w=img_w))

@@ -124,26 +124,29 @@ class LeMeBlock(nn.Module):
         b, h, w, ch = x.shape
         hw = (h, w)
         if self.attn_type in ("D", "D2"):
-            x = self._cpe(x).reshape(b, h * w, ch)
-            fused = self._try_fused_dca(x, c, deterministic)
+            # fused path consumes PRE-CPE tokens (CPE fuses in-kernel)
+            fused = self._try_fused_dca(x.reshape(b, h * w, ch), c,
+                                        deterministic, w)
             if fused is not None:
-                x, c = fused
+                x, c = fused[0].reshape(b, h, w, ch), fused[1]
             else:
+                x = self._cpe(x).reshape(b, h * w, ch)
                 if self.pre_norm:
                     ax, ac = self.attn(self.norm1(x), self.norm1(c))
                 else:
                     ax, ac = self.attn(x, c)
                 x = self._residual_update(x, ax, hw, deterministic)
                 c = self._residual_update(c, ac, None, deterministic)
-            x = x.reshape(b, h, w, ch)
+                x = x.reshape(b, h, w, ch)
         elif self.attn_type == "C":
             # x passes through unchanged (ref :584-613: x restored after CPE);
             # CPE-shifted tokens feed the attention's k/v only.
-            xt = self._cpe(x).reshape(b, h * w, ch)
-            c_fused = self._try_fused_c(xt, c, deterministic)
+            c_fused = self._try_fused_c(x.reshape(b, h * w, ch), c,
+                                        deterministic, w)
             if c_fused is not None:
                 c = c_fused
             else:
+                xt = self._cpe(x).reshape(b, h * w, ch)
                 if self.pre_norm:
                     ac = self.attn(self.norm1(xt), self.norm1(c))
                 else:
@@ -151,19 +154,33 @@ class LeMeBlock(nn.Module):
                 c = self._residual_update(c, ac, None, deterministic)
         else:  # "S": self-attention applied separately to x AND c,
             # with the same (shared) attention + MLP weights (ref :615-650).
-            x = self._cpe(x).reshape(b, h * w, ch)
-            fused = self._try_fused_s(x, c, deterministic)
+            fused = self._try_fused_s(x.reshape(b, h * w, ch), c,
+                                      deterministic, w)
             if fused is not None:
-                x, c = fused
+                x, c = fused[0].reshape(b, h, w, ch), fused[1]
             else:
+                x = self._cpe(x).reshape(b, h * w, ch)
                 ax = self.attn(self.norm1(x)) if self.pre_norm \
                     else self.attn(x)
                 x = self._residual_update(x, ax, hw, deterministic)
                 ac = self.attn(self.norm1(c)) if self.pre_norm \
                     else self.attn(c)
                 c = self._residual_update(c, ac, None, deterministic)
-            x = x.reshape(b, h, w, ch)
+                x = x.reshape(b, h, w, ch)
         return x, c
+
+    def _cpe_weights(self, v):
+        """(9,C) taps + (C,) bias for the fused kernels, or None when
+        cpe_ks == 0. Raises LookupError for kernel sizes the fused path
+        doesn't support (caller falls back)."""
+        if self.cpe_ks == 0:
+            return None
+        if self.cpe_ks != 3:
+            raise LookupError("fused CPE supports 3x3 only")
+        k = v["pos_embed"]["dwconv"]["kernel"]  # (3,3,1,C)
+        taps = k.reshape(9, k.shape[-1]).astype(self.dtype)
+        bias = v["pos_embed"]["dwconv"]["bias"].astype(self.dtype)
+        return (taps, bias)
 
     def _fusable(self, deterministic):
         from lemevit_tpu.attn.modules import _use_pallas
@@ -171,8 +188,8 @@ class LeMeBlock(nn.Module):
                 and not self.mlp_dwconv and not self.is_initializing()
                 and _use_pallas(self.attn_backend))
 
-    def _try_fused_dca(self, x, c, deterministic):
-        """Whole-block fused D-type kernel (inference)."""
+    def _try_fused_dca(self, x, c, deterministic, img_w):
+        """Whole-block fused D-type kernel (inference); x is PRE-CPE."""
         if self.attn_type != "D" or not self._fusable(deterministic):
             return None
         from lemevit_tpu.attn import pallas_block
@@ -180,6 +197,7 @@ class LeMeBlock(nn.Module):
         try:
             v = self.variables["params"]
             dt = self.dtype
+            cpe = self._cpe_weights(v)
             scale_x, scale_c = aref.dca_scales(x.shape[1], c.shape[1],
                                                x.shape[2])
             params = (
@@ -200,18 +218,20 @@ class LeMeBlock(nn.Module):
             )
             return pallas_block.dca_block(
                 x, c, params, num_heads=self.num_heads,
-                scale_x=scale_x, scale_c=scale_c)
-        except (KeyError, TypeError):
+                scale_x=scale_x, scale_c=scale_c, cpe=cpe, img_w=img_w)
+        except (KeyError, TypeError, LookupError):
             return None
 
-    def _try_fused_c(self, xt, c, deterministic):
-        """Fused C-type kernel: x streams HBM once and is never written."""
+    def _try_fused_c(self, xt, c, deterministic, img_w):
+        """Fused C-type kernel: x streams HBM once and is never written;
+        xt is PRE-CPE."""
         if self.attn_type != "C" or not self._fusable(deterministic):
             return None
         from lemevit_tpu.attn import pallas_block
         try:
             v = self.variables["params"]
             dt = self.dtype
+            cpe = self._cpe_weights(v)
             params = (
                 v["norm1"]["scale"], v["norm1"]["bias"],
                 v["attn"]["q"]["kernel"].astype(dt),
@@ -227,20 +247,23 @@ class LeMeBlock(nn.Module):
                 v["mlp"]["fc2"]["bias"].astype(dt),
             )
             return pallas_block.c_block(xt, c, params,
-                                        num_heads=self.num_heads)
-        except (KeyError, TypeError):
+                                        num_heads=self.num_heads,
+                                        cpe=cpe, img_w=img_w)
+        except (KeyError, TypeError, LookupError):
             return None
 
-    def _try_fused_s(self, x, c, deterministic):
+    def _try_fused_s(self, x, c, deterministic, img_w):
         """Whole-block fused Pallas kernel (inference): reads x from HBM
-        once instead of ~16 times. Only on the pre-norm, no-layer-scale,
-        deterministic path; numerics match the composition (tested)."""
+        once instead of ~16 times; x is PRE-CPE. Only on the pre-norm,
+        no-layer-scale, deterministic path; numerics match the composition
+        (tested)."""
         if not self._fusable(deterministic):
             return None
         try:
             from lemevit_tpu.attn import pallas_block
             v = self.variables["params"]
             dt = self.dtype
+            cpe = self._cpe_weights(v)
             params = (
                 v["norm1"]["scale"], v["norm1"]["bias"],
                 v["attn"]["qkv"]["kernel"].astype(dt),
@@ -254,8 +277,9 @@ class LeMeBlock(nn.Module):
                 v["mlp"]["fc2"]["bias"].astype(dt),
             )
             return pallas_block.s_block(x, c, params,
-                                        num_heads=self.num_heads)
-        except (KeyError, TypeError):
+                                        num_heads=self.num_heads,
+                                        cpe=cpe, img_w=img_w)
+        except (KeyError, TypeError, LookupError):
             return None
 
 
