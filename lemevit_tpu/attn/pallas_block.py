@@ -74,25 +74,27 @@ def _cpe_flat(xt, wc, bc, hh, ww):
     x + depthwise3x3(x) expressed as 9 masked row-shifted adds (N = H*W,
     y-shift == shift by W flat rows). Matches a padding-1 depthwise conv.
     wc: (9, C) taps in (ky, kx) order; bc: (1, C)."""
-    try:
-        from jax.experimental.pallas import tpu as pltpu_mod
-        roll = pltpu_mod.roll
-    except ImportError:  # pragma: no cover
-        roll = lambda a, shift, axis: jnp.roll(a, shift, axis)
     n, c = xt.shape
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     xcol = row_ids % ww
+    zeros = jnp.zeros_like(xt)
     acc = bc.astype(xt.dtype) * jnp.ones((n, 1), xt.dtype)
     for ky in range(3):
         for kx in range(3):
             dy, dx = ky - 1, kx - 1
             s = dy * ww + dx
-            # roll requires a non-negative shift: -s mod n
-            shifted = xt if s == 0 else roll(xt, (-s) % n, 0)
-            valid = ((xcol + dx >= 0) & (xcol + dx < ww)
-                     & (row_ids + s >= 0) & (row_ids + s < n))
+            # zero-padded row shift via static slice + concat (pltpu.roll
+            # crashes the Mosaic compiler on these shapes; wrapped rows
+            # would be masked out anyway)
+            if s == 0:
+                shifted = xt
+            elif s > 0:
+                shifted = jnp.concatenate([xt[s:], zeros[:s]], axis=0)
+            else:
+                shifted = jnp.concatenate([zeros[:(-s)], xt[:n + s]], axis=0)
+            valid = (xcol + dx >= 0) & (xcol + dx < ww)
             tap = wc[ky * 3 + kx].astype(xt.dtype)
-            acc = acc + jnp.where(valid, shifted, jnp.zeros_like(xt)) * tap
+            acc = acc + jnp.where(valid, shifted, zeros) * tap
     return xt + acc
 
 
