@@ -75,8 +75,10 @@ def _cpe_flat(xt, wc, bc, hh, ww):
     y-shift == shift by W flat rows). Matches a padding-1 depthwise conv.
     wc: (9, C) taps in (ky, kx) order; bc: (1, C)."""
     n, c = xt.shape
+    img_n = hh * ww  # rows per image; n may be rows-folded (r images)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     xcol = row_ids % ww
+    img_row = row_ids % img_n
     zeros = jnp.zeros_like(xt)
     acc = bc.astype(xt.dtype) * jnp.ones((n, 1), xt.dtype)
     for ky in range(3):
@@ -84,15 +86,16 @@ def _cpe_flat(xt, wc, bc, hh, ww):
             dy, dx = ky - 1, kx - 1
             s = dy * ww + dx
             # zero-padded row shift via static slice + concat (pltpu.roll
-            # crashes the Mosaic compiler on these shapes; wrapped rows
-            # would be masked out anyway)
+            # crashes the Mosaic compiler on these shapes; out-of-image
+            # rows are masked off below)
             if s == 0:
                 shifted = xt
             elif s > 0:
                 shifted = jnp.concatenate([xt[s:], zeros[:s]], axis=0)
             else:
                 shifted = jnp.concatenate([zeros[:(-s)], xt[:n + s]], axis=0)
-            valid = (xcol + dx >= 0) & (xcol + dx < ww)
+            valid = ((xcol + dx >= 0) & (xcol + dx < ww)
+                     & (img_row + s >= 0) & (img_row + s < img_n))
             tap = wc[ky * 3 + kx].astype(xt.dtype)
             acc = acc + jnp.where(valid, shifted, zeros) * tap
     return xt + acc
@@ -165,13 +168,12 @@ def _s_block_kernel(x_ref, c_ref,
         t1 = t + (o + bp.astype(jnp.float32)).astype(dtype)
         return _mlp_residual(t1, w1, b1, w2, b2, ln2s, ln2b, dtype)
 
+    xflat = x_ref[:].reshape(rows * n, c_dim)
     if use_cpe:
-        # CPE per image row (shifts must not cross images)
-        xs = [_cpe_flat(x_ref[r], wcpe_ref[:], bcpe_ref[0],
-                        n // img_w, img_w) for r in range(rows)]
-        xflat = jnp.concatenate(xs, axis=0) if rows > 1 else xs[0]
-    else:
-        xflat = x_ref[:].reshape(rows * n, c_dim)
+        # one CPE pass over the folded flat array; per-image row masks
+        # (rid % N) stop shifts from bleeding across images
+        xflat = _cpe_flat(xflat, wcpe_ref[:], bcpe_ref[0],
+                          n // img_w, img_w)
     xo_ref[:] = branch(xflat, n).reshape(rows, n, c_dim)
     co_ref[:] = branch(c_ref[:].reshape(rows * m, c_dim),
                        m).reshape(rows, m, c_dim)
