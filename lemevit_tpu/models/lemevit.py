@@ -154,12 +154,15 @@ class LeMeBlock(nn.Module):
                 c = self._residual_update(c, ac, None, deterministic)
         else:  # "S": self-attention applied separately to x AND c,
             # with the same (shared) attention + MLP weights (ref :615-650).
+            # CPE stays outside the fused S-kernel (the folded-rows + CPE
+            # combination crashes the Mosaic compiler; D/C kernels fuse it).
+            x = self._cpe(x)
             fused = self._try_fused_s(x.reshape(b, h * w, ch), c,
                                       deterministic, w)
             if fused is not None:
                 x, c = fused[0].reshape(b, h, w, ch), fused[1]
             else:
-                x = self._cpe(x).reshape(b, h * w, ch)
+                x = x.reshape(b, h * w, ch)
                 ax = self.attn(self.norm1(x)) if self.pre_norm \
                     else self.attn(x)
                 x = self._residual_update(x, ax, hw, deterministic)
@@ -263,7 +266,7 @@ class LeMeBlock(nn.Module):
             from lemevit_tpu.attn import pallas_block
             v = self.variables["params"]
             dt = self.dtype
-            cpe = self._cpe_weights(v)
+            cpe = None  # CPE applied outside for the S kernel (see caller)
             params = (
                 v["norm1"]["scale"], v["norm1"]["bias"],
                 v["attn"]["qkv"]["kernel"].astype(dt),
