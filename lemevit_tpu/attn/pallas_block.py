@@ -38,35 +38,32 @@ _MAX_N_SBLOCK = 1024
 
 
 def _ln(t, scale, bias, eps=1e-6):
-    """LayerNorm: fp32 statistics, dtype-of-t application (the elementwise
-    chain is VPU-throughput-bound; bf16 application matches the reference's
-    AMP semantics while stats keep fp32 accuracy)."""
+    """LayerNorm in fp32. (A bf16-elementwise variant crashes the Mosaic
+    compiler when combined with row folding — bisected on v5e; fp32 is the
+    known-good configuration.)"""
     t32 = t.astype(jnp.float32)
     mu = jnp.mean(t32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(t32 - mu), axis=-1, keepdims=True)
-    out = ((t32 - mu) * jax.lax.rsqrt(var + eps)).astype(t.dtype)
-    return out * scale.astype(t.dtype) + bias.astype(t.dtype)
+    out = (t32 - mu) * jax.lax.rsqrt(var + eps)
+    return out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
 
 
 def _erf(x):
-    """Abramowitz-Stegun 7.1.26 polynomial erf (|err| < 1.5e-7).
+    """Abramowitz-Stegun 7.1.26 polynomial erf (|err| < 1.5e-7) in fp32.
     Pallas TPU has no erf primitive; this keeps exact-GELU parity well
-    inside bf16/fp32 activation tolerance using only exp. The sign is
-    extracted via an fp32 comparison (Mosaic rejects bf16 vector cmpf)."""
-    sign = jnp.sign(x.astype(jnp.float32)).astype(x.dtype)
+    inside bf16/fp32 activation tolerance using only exp."""
+    sign = jnp.sign(x)
     ax = jnp.abs(x)
-    one = jnp.asarray(1.0, x.dtype)
-    t = one / (one + jnp.asarray(0.3275911, x.dtype) * ax)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
     poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429)))).astype(x.dtype)
-    return sign * (one - poly * jnp.exp(-ax * ax))
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
 def _gelu(t):
-    # erf-form GELU evaluated in t's dtype (bf16 on TPU): ~2x VPU rate vs
-    # fp32; |bf16 eval err| << bf16 representation error of the result
-    return 0.5 * t * (1.0 + _erf(t * jnp.asarray(0.7071067811865476,
-                                                 t.dtype))).astype(t.dtype)
+    # exact (erf-form) GELU in fp32 (parity with torch nn.GELU)
+    t32 = t.astype(jnp.float32)
+    return 0.5 * t32 * (1.0 + _erf(t32 * 0.7071067811865476))
 
 
 def _cpe_flat(xt, wc, bc, hh, ww):
@@ -119,13 +116,13 @@ def _attn_rows(q, k, v, scale, num_heads, head_dim, out_dtype):
 
 
 def _mlp_residual(t, w1, b1, w2, b2, ln_s, ln_b, dtype):
-    m = _ln(t, ln_s, ln_b)
+    m = _ln(t, ln_s, ln_b).astype(dtype)
     y = jax.lax.dot_general(m, w1, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    y = _gelu((y + b1.astype(jnp.float32)).astype(dtype))
+    y = _gelu(y + b1.astype(jnp.float32)).astype(dtype)
     y = jax.lax.dot_general(y, w2, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    return t + (y + b2.astype(jnp.float32)).astype(dtype)
+    return t.astype(jnp.float32) + y + b2.astype(jnp.float32)
 
 
 def _s_block_kernel(x_ref, c_ref,
@@ -165,8 +162,10 @@ def _s_block_kernel(x_ref, c_ref,
         o = jnp.concatenate(outs, axis=0) if rows > 1 else outs[0]
         o = jax.lax.dot_general(o, wp, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        t1 = t + (o + bp.astype(jnp.float32)).astype(dtype)
-        return _mlp_residual(t1, w1, b1, w2, b2, ln2s, ln2b, dtype)
+        t1 = t.astype(jnp.float32) + o + bp.astype(jnp.float32)
+        out = _mlp_residual(t1.astype(dtype), w1, b1, w2, b2, ln2s, ln2b,
+                            dtype)
+        return out.astype(dtype)
 
     xflat = x_ref[:].reshape(rows * n, c_dim)
     if use_cpe:
@@ -318,9 +317,10 @@ def _dca_block_kernel(x_ref, c_ref,
     attn_x = jnp.concatenate(outs, axis=-1).astype(dtype)
     o = jax.lax.dot_general(attn_x, wpx_ref[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    x1 = xt + (o + bpx_ref[0].astype(jnp.float32)).astype(dtype)
-    xo_ref[0] = _mlp_residual(x1, w1_ref[:], b1_ref[0], w2_ref[:],
-                              b2_ref[0], ln2s, ln2b, dtype).astype(dtype)
+    x1 = xt.astype(jnp.float32) + o + bpx_ref[0].astype(jnp.float32)
+    xo_ref[0] = _mlp_residual(x1.astype(dtype), w1_ref[:], b1_ref[0],
+                              w2_ref[:], b2_ref[0], ln2s, ln2b,
+                              dtype).astype(dtype)
 
     @pl.when(t == n_tiles - 1)
     def _():
