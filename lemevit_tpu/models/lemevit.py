@@ -124,13 +124,16 @@ class LeMeBlock(nn.Module):
         b, h, w, ch = x.shape
         hw = (h, w)
         if self.attn_type in ("D", "D2"):
-            # fused path consumes PRE-CPE tokens (CPE fuses in-kernel)
+            # CPE outside the kernel: XLA's dwconv beats the in-kernel
+            # masked-shift variant ~2x (A/B'd on v5e; the kernels still
+            # support cpe= for future tuning)
+            x = self._cpe(x)
             fused = self._try_fused_dca(x.reshape(b, h * w, ch), c,
                                         deterministic, w)
             if fused is not None:
                 x, c = fused[0].reshape(b, h, w, ch), fused[1]
             else:
-                x = self._cpe(x).reshape(b, h * w, ch)
+                x = x.reshape(b, h * w, ch)
                 if self.pre_norm:
                     ax, ac = self.attn(self.norm1(x), self.norm1(c))
                 else:
@@ -141,12 +144,11 @@ class LeMeBlock(nn.Module):
         elif self.attn_type == "C":
             # x passes through unchanged (ref :584-613: x restored after CPE);
             # CPE-shifted tokens feed the attention's k/v only.
-            c_fused = self._try_fused_c(x.reshape(b, h * w, ch), c,
-                                        deterministic, w)
+            xt = self._cpe(x).reshape(b, h * w, ch)
+            c_fused = self._try_fused_c(xt, c, deterministic, w)
             if c_fused is not None:
                 c = c_fused
             else:
-                xt = self._cpe(x).reshape(b, h * w, ch)
                 if self.pre_norm:
                     ac = self.attn(self.norm1(xt), self.norm1(c))
                 else:
@@ -200,7 +202,7 @@ class LeMeBlock(nn.Module):
         try:
             v = self.variables["params"]
             dt = self.dtype
-            cpe = self._cpe_weights(v)
+            cpe = None  # external CPE (XLA dwconv faster than in-kernel)
             scale_x, scale_c = aref.dca_scales(x.shape[1], c.shape[1],
                                                x.shape[2])
             params = (
@@ -234,7 +236,7 @@ class LeMeBlock(nn.Module):
         try:
             v = self.variables["params"]
             dt = self.dtype
-            cpe = self._cpe_weights(v)
+            cpe = None  # external CPE (XLA dwconv faster than in-kernel)
             params = (
                 v["norm1"]["scale"], v["norm1"]["bias"],
                 v["attn"]["q"]["kernel"].astype(dt),
