@@ -37,33 +37,39 @@ _INTERPRET = False
 _MAX_N_SBLOCK = 1024
 
 
-def _ln(t, scale, bias, eps=1e-6):
-    """LayerNorm in fp32. (A bf16-elementwise variant crashes the Mosaic
-    compiler when combined with row folding — bisected on v5e; fp32 is the
-    known-good configuration.)"""
+def _ln(t, scale, bias, eps=1e-6, ew=jnp.float32):
+    """LayerNorm: fp32 statistics, `ew`-dtype application.
+
+    ew=bf16 roughly doubles VPU rate but MUST NOT be combined with the
+    row-folded s_block (bf16 elementwise + folding crashes the Mosaic
+    compiler — bisected on v5e); the rows=1 DCA/C kernels use it safely."""
     t32 = t.astype(jnp.float32)
     mu = jnp.mean(t32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(t32 - mu), axis=-1, keepdims=True)
-    out = (t32 - mu) * jax.lax.rsqrt(var + eps)
-    return out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    out = ((t32 - mu) * jax.lax.rsqrt(var + eps)).astype(ew)
+    return out * scale.astype(ew) + bias.astype(ew)
 
 
 def _erf(x):
-    """Abramowitz-Stegun 7.1.26 polynomial erf (|err| < 1.5e-7) in fp32.
+    """Abramowitz-Stegun 7.1.26 polynomial erf (|err| < 1.5e-7).
     Pallas TPU has no erf primitive; this keeps exact-GELU parity well
-    inside bf16/fp32 activation tolerance using only exp."""
-    sign = jnp.sign(x)
+    inside bf16/fp32 activation tolerance using only exp. Sign via fp32
+    comparison (Mosaic rejects bf16 vector cmpf)."""
+    sign = jnp.sign(x.astype(jnp.float32)).astype(x.dtype)
     ax = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+    one = jnp.asarray(1.0, x.dtype)
+    t = one / (one + jnp.asarray(0.3275911, x.dtype) * ax)
+    poly = (t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))).astype(x.dtype)
+    return sign * (one - poly * jnp.exp(-ax * ax))
 
 
-def _gelu(t):
-    # exact (erf-form) GELU in fp32 (parity with torch nn.GELU)
-    t32 = t.astype(jnp.float32)
-    return 0.5 * t32 * (1.0 + _erf(t32 * 0.7071067811865476))
+def _gelu(t, ew=jnp.float32):
+    # exact (erf-form) GELU evaluated in `ew` (parity with torch nn.GELU;
+    # bf16 evaluation error << bf16 representation error of the result)
+    te = t.astype(ew)
+    return (0.5 * te * (1.0 + _erf(te * jnp.asarray(
+        0.7071067811865476, ew)))).astype(ew)
 
 
 def _cpe_flat(xt, wc, bc, hh, ww):
@@ -115,11 +121,11 @@ def _attn_rows(q, k, v, scale, num_heads, head_dim, out_dtype):
     return jnp.concatenate(outs, axis=-1).astype(out_dtype)
 
 
-def _mlp_residual(t, w1, b1, w2, b2, ln_s, ln_b, dtype):
-    m = _ln(t, ln_s, ln_b).astype(dtype)
+def _mlp_residual(t, w1, b1, w2, b2, ln_s, ln_b, dtype, ew=jnp.float32):
+    m = _ln(t, ln_s, ln_b, ew=ew).astype(dtype)
     y = jax.lax.dot_general(m, w1, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    y = _gelu(y + b1.astype(jnp.float32)).astype(dtype)
+    y = _gelu(y + b1.astype(jnp.float32), ew=ew).astype(dtype)
     y = jax.lax.dot_general(y, w2, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     return t.astype(jnp.float32) + y + b2.astype(jnp.float32)
@@ -259,7 +265,7 @@ def _dca_block_kernel(x_ref, c_ref,
 
     @pl.when(t == 0)
     def _():
-        ca = _ln(c_ref[0], ln1s, ln1b).astype(dtype)
+        ca = _ln(c_ref[0], ln1s, ln1b, ew=dtype).astype(dtype)
         qkv2 = jax.lax.dot_general(
             ca, wqkv2_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -276,7 +282,7 @@ def _dca_block_kernel(x_ref, c_ref,
     if use_cpe:  # only engaged when the tile spans the whole image
         xt = _cpe_flat(xt, wcpe_ref[:], bcpe_ref[0],
                        xt.shape[0] // img_w, img_w)
-    xa = _ln(xt, ln1s, ln1b).astype(dtype)
+    xa = _ln(xt, ln1s, ln1b, ew=dtype).astype(dtype)
     qkv1 = jax.lax.dot_general(
         xa, wqkv1_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -320,7 +326,7 @@ def _dca_block_kernel(x_ref, c_ref,
     x1 = xt.astype(jnp.float32) + o + bpx_ref[0].astype(jnp.float32)
     xo_ref[0] = _mlp_residual(x1.astype(dtype), w1_ref[:], b1_ref[0],
                               w2_ref[:], b2_ref[0], ln2s, ln2b,
-                              dtype).astype(dtype)
+                              dtype, ew=dtype).astype(dtype)
 
     @pl.when(t == n_tiles - 1)
     def _():
@@ -333,7 +339,8 @@ def _dca_block_kernel(x_ref, c_ref,
         c1 = c_ref[0].astype(jnp.float32) + oc + bpc_ref[0].astype(
             jnp.float32)
         co = _mlp_residual(c1.astype(dtype), w1_ref[:], b1_ref[0],
-                           w2_ref[:], b2_ref[0], ln2s, ln2b, dtype)
+                           w2_ref[:], b2_ref[0], ln2s, ln2b, dtype,
+                           ew=dtype)
         co_ref[0] = co.astype(dtype)
 
 
@@ -443,7 +450,7 @@ def _c_block_kernel(x_ref, c_ref,
 
     @pl.when(t == 0)
     def _():
-        ca = _ln(c_ref[0], ln1s, ln1b).astype(dtype)
+        ca = _ln(c_ref[0], ln1s, ln1b, ew=dtype).astype(dtype)
         q = jax.lax.dot_general(ca, wq_ref[:], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         q_scr[:] = (q + bq_ref[0].astype(jnp.float32)).astype(dtype)
@@ -455,7 +462,7 @@ def _c_block_kernel(x_ref, c_ref,
     if use_cpe:
         xt = _cpe_flat(xt, wcpe_ref[:], bcpe_ref[0],
                        xt.shape[0] // img_w, img_w)
-    xa = _ln(xt, ln1s, ln1b).astype(dtype)
+    xa = _ln(xt, ln1s, ln1b, ew=dtype).astype(dtype)
     kv = jax.lax.dot_general(xa, wkv_ref[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     kv = (kv + bkv_ref[0].astype(jnp.float32)).astype(dtype)
