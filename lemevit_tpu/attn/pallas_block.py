@@ -265,7 +265,7 @@ def _dca_block_kernel(x_ref, c_ref,
 
     @pl.when(t == 0)
     def _():
-        ca = _ln(c_ref[0], ln1s, ln1b, ew=dtype).astype(dtype)
+        ca = _ln(c_ref[0], ln1s, ln1b).astype(dtype)
         qkv2 = jax.lax.dot_general(
             ca, wqkv2_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -282,7 +282,7 @@ def _dca_block_kernel(x_ref, c_ref,
     if use_cpe:  # only engaged when the tile spans the whole image
         xt = _cpe_flat(xt, wcpe_ref[:], bcpe_ref[0],
                        xt.shape[0] // img_w, img_w)
-    xa = _ln(xt, ln1s, ln1b, ew=dtype).astype(dtype)
+    xa = _ln(xt, ln1s, ln1b).astype(dtype)
     qkv1 = jax.lax.dot_general(
         xa, wqkv1_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -326,7 +326,7 @@ def _dca_block_kernel(x_ref, c_ref,
     x1 = xt.astype(jnp.float32) + o + bpx_ref[0].astype(jnp.float32)
     xo_ref[0] = _mlp_residual(x1.astype(dtype), w1_ref[:], b1_ref[0],
                               w2_ref[:], b2_ref[0], ln2s, ln2b,
-                              dtype, ew=dtype).astype(dtype)
+                              dtype).astype(dtype)
 
     @pl.when(t == n_tiles - 1)
     def _():
@@ -339,8 +339,7 @@ def _dca_block_kernel(x_ref, c_ref,
         c1 = c_ref[0].astype(jnp.float32) + oc + bpc_ref[0].astype(
             jnp.float32)
         co = _mlp_residual(c1.astype(dtype), w1_ref[:], b1_ref[0],
-                           w2_ref[:], b2_ref[0], ln2s, ln2b, dtype,
-                           ew=dtype)
+                           w2_ref[:], b2_ref[0], ln2s, ln2b, dtype)
         co_ref[0] = co.astype(dtype)
 
 
@@ -450,7 +449,7 @@ def _c_block_kernel(x_ref, c_ref,
 
     @pl.when(t == 0)
     def _():
-        ca = _ln(c_ref[0], ln1s, ln1b, ew=dtype).astype(dtype)
+        ca = _ln(c_ref[0], ln1s, ln1b).astype(dtype)
         q = jax.lax.dot_general(ca, wq_ref[:], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         q_scr[:] = (q + bq_ref[0].astype(jnp.float32)).astype(dtype)
@@ -462,7 +461,7 @@ def _c_block_kernel(x_ref, c_ref,
     if use_cpe:
         xt = _cpe_flat(xt, wcpe_ref[:], bcpe_ref[0],
                        xt.shape[0] // img_w, img_w)
-    xa = _ln(xt, ln1s, ln1b, ew=dtype).astype(dtype)
+    xa = _ln(xt, ln1s, ln1b).astype(dtype)
     kv = jax.lax.dot_general(xa, wkv_ref[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     kv = (kv + bkv_ref[0].astype(jnp.float32)).astype(dtype)
