@@ -102,3 +102,16 @@ def test_remat_stage_matches_plain():
     out2 = m2.apply(v1, x)  # same params, remat must be numerically identical
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_golden_logits_regression():
+    """Fixed-seed micro model must reproduce committed golden logits —
+    guards against accidental numerics drift in any layer."""
+    import os
+    golden = np.load(os.path.join(os.path.dirname(__file__),
+                                  "golden_micro_logits.npy"))
+    model = create_model("lemevit_micro", num_classes=7)
+    x = jax.random.normal(jax.random.PRNGKey(42), (2, 32, 32, 3))
+    v = model.init(jax.random.PRNGKey(7), x)
+    out = np.asarray(model.apply(v, x))
+    np.testing.assert_allclose(out, golden, rtol=1e-5, atol=1e-5)
