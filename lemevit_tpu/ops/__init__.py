@@ -53,3 +53,4 @@ from lemevit_tpu.ops.plugins import (  # noqa: F401
     SumCell,
     build_plugin_layer,
 )
+from lemevit_tpu.ops.roi import multilevel_roi_align  # noqa: F401

@@ -165,6 +165,32 @@ def roi_pool(feat: jax.Array, rois: jax.Array, output_size: Tuple[int, int],
     return jax.vmap(one_roi)(bidx, x1, y1, rh, rw)
 
 
+def multilevel_roi_align(pyramid, rois: jax.Array,
+                         output_size: Tuple[int, int],
+                         strides, sampling_ratio: int = 2,
+                         aligned: bool = True,
+                         canonical_scale: float = 224.0) -> jax.Array:
+    """FPN-style multi-level ROI align with static shapes.
+
+    Each roi is assigned to level l = floor(l0 + log2(sqrt(area)/224))
+    (FPN paper eq. 1). XLA-friendly: pool from EVERY level and select by
+    the assignment mask — 4 small gathers instead of dynamic partitioning.
+    rois: (K, 5) [batch_idx, x1, y1, x2, y2] in image coords.
+    """
+    areas = jnp.maximum((rois[:, 3] - rois[:, 1])
+                        * (rois[:, 4] - rois[:, 2]), 1e-6)
+    lvl = jnp.floor(jnp.log2(jnp.sqrt(areas) / canonical_scale + 1e-8)) + 2
+    lvl = jnp.clip(lvl, 0, len(pyramid) - 1).astype(jnp.int32)
+    out = None
+    for i, (feat, s) in enumerate(zip(pyramid, strides)):
+        pooled = roi_align(feat, rois, output_size,
+                           spatial_scale=1.0 / s,
+                           sampling_ratio=sampling_ratio, aligned=aligned)
+        sel = (lvl == i)[:, None, None, None].astype(pooled.dtype)
+        out = pooled * sel if out is None else out + pooled * sel
+    return out
+
+
 def point_sample(feat: jax.Array, points: jax.Array,
                  align_corners: bool = False) -> jax.Array:
     """grid_sample-style point sampling. feat (B,H,W,C); points (B,P,2) in

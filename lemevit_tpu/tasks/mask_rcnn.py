@@ -16,7 +16,7 @@ from flax import linen as nn
 
 from lemevit_tpu.core.layers import torch_conv_init, trunc_normal_init
 from lemevit_tpu.ops.boxes import batched_nms, box_iou
-from lemevit_tpu.ops.roi import roi_align
+from lemevit_tpu.ops.roi import multilevel_roi_align, roi_align
 from lemevit_tpu.tasks.detection import FPN, make_anchors
 from lemevit_tpu.tasks.detection_train import (max_iou_assign, sample_weights,
                                                smooth_l1)
@@ -152,20 +152,18 @@ class MaskRCNN(nn.Module):
             jnp.repeat(jnp.arange(b, dtype=jnp.float32)[:, None, None], k,
                        axis=1),
             proposals], axis=-1).reshape(b * k, 5)
-        pooled = roi_align(pyramid[0], rois,
-                           (self.roi_size, self.roi_size),
-                           spatial_scale=1.0 / self.strides[0],
-                           aligned=True)
+        pooled = multilevel_roi_align(
+            pyramid[:4], rois, (self.roi_size, self.roi_size),
+            self.strides[:4], aligned=True)
         cls, reg = BoxHead(self.num_classes, dtype=self.dtype,
                            name="box_head")(pooled)
         boxes = decode_boxes(_xyxy_to_xywh(rois[:, 1:]), reg).reshape(
             b, k, 4)
         probs = jax.nn.softmax(cls, -1).reshape(b, k, self.num_classes + 1)
 
-        mask_pooled = roi_align(pyramid[0], rois,
-                                (self.mask_roi_size, self.mask_roi_size),
-                                spatial_scale=1.0 / self.strides[0],
-                                aligned=True)
+        mask_pooled = multilevel_roi_align(
+            pyramid[:4], rois, (self.mask_roi_size, self.mask_roi_size),
+            self.strides[:4], aligned=True)
         masks = MaskHead(self.num_classes, dtype=self.dtype,
                          name="mask_head")(mask_pooled)
         masks = masks.reshape(b, k, *masks.shape[1:])

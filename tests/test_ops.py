@@ -268,3 +268,17 @@ def test_rie_max_over_orientations():
     x = jnp.arange(16.0).reshape(1, 1, 1, 16)
     out = ops.rotation_invariant_encoding(x, n_orient=8)
     np.testing.assert_allclose(np.asarray(out)[0, 0, 0], [7.0, 15.0])
+
+
+def test_multilevel_roi_align_selects_levels():
+    from lemevit_tpu.ops.roi import multilevel_roi_align
+    # two constant pyramids with distinct values: small roi -> level 0,
+    # huge roi -> deeper level
+    pyr = [jnp.full((1, 64 // s, 64 // s, 2), float(i))
+           for i, s in enumerate([4, 8, 16, 32])]
+    rois = jnp.array([[0., 8., 8., 24., 24.],    # 16px -> level 0
+                      [0., 2., 2., 62., 62.]])   # 60px -> level 1
+    out = ops.multilevel_roi_align(pyr, rois, (2, 2), [4, 8, 16, 32],
+                                   canonical_scale=64.0)
+    assert float(out[0].mean()) == pytest.approx(0.0, abs=1e-6)
+    assert float(out[1].mean()) == pytest.approx(1.0, abs=1e-6)
