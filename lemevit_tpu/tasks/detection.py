@@ -160,8 +160,26 @@ def decode_obb_deltas(rois: jax.Array, deltas: jax.Array) -> jax.Array:
     return jnp.stack([gx, gy, gw, gh, gt], -1)
 
 
+def multilevel_roi_align_rotated(pyramid, rois: jax.Array,
+                                 output_size, strides,
+                                 canonical_scale: float = 224.0) -> jax.Array:
+    """FPN-level-assigned rotated ROI align (masked per-level pooling, same
+    scheme as ops.roi.multilevel_roi_align). rois (K,6)."""
+    areas = jnp.maximum(rois[:, 3] * rois[:, 4], 1e-6)
+    lvl = jnp.floor(jnp.log2(jnp.sqrt(areas) / canonical_scale + 1e-8)) + 2
+    lvl = jnp.clip(lvl, 0, len(pyramid) - 1).astype(jnp.int32)
+    out = None
+    for i, (feat, s) in enumerate(zip(pyramid, strides)):
+        pooled = roi_align_rotated(feat, rois, output_size,
+                                   spatial_scale=1.0 / s)
+        sel = (lvl == i)[:, None, None, None].astype(pooled.dtype)
+        out = pooled * sel if out is None else out + pooled * sel
+    return out
+
+
 class OBBRoIHead(nn.Module):
-    """Rotated ROI head: roi_align_rotated -> 2 FC -> cls + obb regression."""
+    """Rotated ROI head: multi-level roi_align_rotated -> 2 FC ->
+    cls + obb regression."""
 
     num_classes: int
     fc_channels: int = 1024
@@ -169,10 +187,9 @@ class OBBRoIHead(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feat: jax.Array, rois: jax.Array,
-                 spatial_scale: float):
-        pooled = roi_align_rotated(feat, rois, (self.roi_size, self.roi_size),
-                                   spatial_scale=spatial_scale)
+    def __call__(self, pyramid, rois: jax.Array, strides):
+        pooled = multilevel_roi_align_rotated(
+            pyramid, rois, (self.roi_size, self.roi_size), strides)
         x = pooled.reshape(pooled.shape[0], -1)
         x = nn.relu(nn.Dense(self.fc_channels, dtype=self.dtype,
                              kernel_init=trunc_normal_init(), name="fc1")(x))
@@ -226,15 +243,13 @@ class OrientedRCNN(nn.Module):
             lambda deltas, idx: decode_midpoint_offset(
                 all_anchors[idx], deltas[idx]))(all_deltas, topi)
 
-        # rotated ROI align on the stride-4 level (single-level assign for
-        # static shapes; multi-level assignment is a gather refinement)
         rois = jnp.concatenate([
             jnp.repeat(jnp.arange(b, dtype=jnp.float32)[:, None, None], k,
                        axis=1),
             proposals], axis=-1).reshape(b * k, 6)
         cls, reg = OBBRoIHead(self.num_classes, dtype=self.dtype,
                               name="roi_head")(
-            pyramid[0], rois, 1.0 / self.strides[0])
+            pyramid[:4], rois, self.strides[:4])
 
         boxes = decode_obb_deltas(rois[:, 1:], reg).reshape(b, k, 5)
         scores = jax.nn.softmax(cls, axis=-1).reshape(
