@@ -1,0 +1,173 @@
+"""Oriented object detection training / evaluation CLI.
+
+The reference's detection vertical trains through external OBBDetection
+tools (scripts/train_od.sh); this is the standalone TPU-native equivalent:
+OrientedRCNN + detection_loss, AdamW 1x schedule, rotated-NMS inference,
+VOC-style mAP, DOTA submission dump.
+
+Smoke: python -m lemevit_tpu.cli.train_det --synthetic --epochs 1
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="lemevit_tpu detection")
+    p.add_argument("--data-dir", default="")
+    p.add_argument("--backbone", default="lemevit_small")
+    p.add_argument("--num-classes", type=int, default=15)
+    p.add_argument("--img-size", type=int, default=1024)
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--weight-decay", type=float, default=0.05)
+    p.add_argument("--num-proposals", type=int, default=256)
+    p.add_argument("--max-boxes", type=int, default=64)
+    p.add_argument("--fpn-channels", type=int, default=256)
+    p.add_argument("--output", default="./output/det")
+    p.add_argument("--workers", type=int, default=2)
+    p.add_argument("--initial-checkpoint", default="")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--steps-per-epoch", type=int, default=0)
+    p.add_argument("--format-only", action="store_true",
+                   help="dump DOTA submission instead of computing mAP")
+    p.add_argument("--bf16", action="store_true", default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from lemevit_tpu.data import create_loader
+    from lemevit_tpu.data.detection import (DOTADataset, SyntheticDetection,
+                                            detection_collate)
+    from lemevit_tpu.data.mixup import normalize
+    from lemevit_tpu.models import create_model
+    from lemevit_tpu.tasks import OrientedRCNN
+    from lemevit_tpu.tasks.detection_train import detection_loss
+    from lemevit_tpu.tasks.dota import write_dota_submission
+    from lemevit_tpu.tasks.map_eval import evaluate_map
+    from lemevit_tpu.train.checkpoint import load_pretrained, save_checkpoint
+    from lemevit_tpu.train.state import TrainState
+    from lemevit_tpu.utils.logging import setup_logging
+
+    os.makedirs(args.output, exist_ok=True)
+    logger = setup_logging(os.path.join(args.output, "train.log"))
+    on_tpu = jax.default_backend() == "tpu"
+    bf16 = args.bf16 if args.bf16 is not None else on_tpu
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+
+    collate = lambda s: detection_collate(s, max_boxes=args.max_boxes)
+    if args.synthetic:
+        train_ds = SyntheticDetection(4 * args.batch_size, args.img_size,
+                                      args.num_classes)
+        val_ds = SyntheticDetection(2 * args.batch_size, args.img_size,
+                                    args.num_classes)
+    else:
+        train_ds = DOTADataset(args.data_dir, "train")
+        val_ds = DOTADataset(args.data_dir, "val")
+    train_loader = create_loader(train_ds, args.batch_size,
+                                 is_training=True,
+                                 num_threads=args.workers,
+                                 collate_fn=collate)
+    steps_per_epoch = args.steps_per_epoch or max(len(train_loader), 1)
+
+    backbone = create_model(args.backbone, features_only=True, dtype=dtype)
+    det = OrientedRCNN(backbone=backbone, num_classes=args.num_classes,
+                       fpn_channels=args.fpn_channels,
+                       num_proposals=args.num_proposals, dtype=dtype)
+    rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, args.img_size, args.img_size, 3))
+    variables = det.init(rng, dummy)
+    if args.initial_checkpoint:
+        bb = load_pretrained(backbone, args.initial_checkpoint)
+        params = dict(variables["params"])
+        params["backbone"] = bb["params"]
+        stats = dict(variables.get("batch_stats", {}))
+        if bb.get("batch_stats"):
+            stats["backbone"] = bb["batch_stats"]
+        variables = {"params": params, "batch_stats": stats}
+
+    total = args.epochs * steps_per_epoch
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, max(total // 20, 1), max(total, 2))
+    tx = optax.adamw(sched, weight_decay=args.weight_decay)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]),
+                       apply_fn=det.apply, tx=tx)
+
+    def loss_fn(params, batch_stats, batch):
+        out, mut = det.apply(
+            {"params": params, "batch_stats": batch_stats},
+            normalize(batch["image"]), train=True, mutable=["batch_stats"])
+        total, parts = detection_loss(
+            out, batch["gt_obbs"], batch["gt_labels"], batch["gt_mask"],
+            num_classes=args.num_classes)
+        return total, (parts, mut.get("batch_stats", {}))
+
+    @jax.jit
+    def train_step(state, batch):
+        (loss, (parts, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+        return state.apply_gradients(grads, stats), loss, parts
+
+    @jax.jit
+    def predict(state, images_u8):
+        v = {"params": state.params, "batch_stats": state.batch_stats}
+        return det.apply(v, normalize(images_u8), train=False)
+
+    def evaluate(state):
+        dets, gts = {}, {}
+        for i in range(len(val_ds)):
+            img, obbs, labels = val_ds[i]
+            out = predict(state, jnp.asarray(img)[None])
+            keep = np.asarray(out["keep"])[0]
+            dets[str(i)] = {
+                "boxes": np.asarray(out["boxes"])[0][keep],
+                "scores": np.asarray(out["scores"])[0][keep],
+                "labels": np.asarray(out["labels"])[0][keep]}
+            gts[str(i)] = {"boxes": obbs, "labels": labels}
+        if args.format_only:
+            write_dota_submission(os.path.join(args.output, "submission"),
+                                  dets)
+            return {"mAP": -1.0}
+        return evaluate_map(dets, gts, args.num_classes)
+
+    best = -1.0
+    metrics = {"mAP": 0.0}
+    for epoch in range(args.epochs):
+        train_loader.set_epoch(epoch)
+        it = iter(train_loader)
+        for si in range(steps_per_epoch):
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = iter(train_loader)
+                batch = next(it)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, loss, parts = train_step(state, batch)
+        metrics = evaluate(state)
+        logger.info("epoch %d loss %.4f %s", epoch, float(loss),
+                    json.dumps({k: round(float(v), 4)
+                                for k, v in parts.items()}
+                               | {"mAP": round(metrics["mAP"], 4)}))
+        if metrics["mAP"] > best:
+            best = metrics["mAP"]
+            save_checkpoint(os.path.join(args.output, "checkpoints"), state,
+                            metric=metrics["mAP"])
+    return {"best_mAP": best, "steps": int(state.step)}
+
+
+if __name__ == "__main__":
+    main()
