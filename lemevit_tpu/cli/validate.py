@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -37,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tta", action="store_true",
                    help="test-time augmentation: average logits with the "
                         "horizontal flip (reference --tta equivalent)")
+    p.add_argument("--real-labels", default="",
+                   help="real.json for ImageNet-ReaL re-scoring "
+                        "(reference validate.py:292-295)")
+    p.add_argument("--bulk", default="",
+                   help="directory/glob of checkpoints to validate in "
+                        "sequence (reference bulk mode :427-471)")
     return p
 
 
@@ -84,7 +91,16 @@ def validate(args) -> dict:
             logits = logits + model.apply(variables, images[:, :, ::-1],
                                           train=False)
             logits = logits / 2.0
-        return eval_metrics(logits, labels)
+        top5 = jax.lax.top_k(logits, 5)[1]
+        return eval_metrics(logits, labels), top5
+
+    real = None
+    if args.real_labels:
+        with open(args.real_labels) as f:
+            real = json.load(f)  # list (per sorted val image) of ok labels
+    real_correct = 0
+    real_count = 0
+    sample_idx = 0
 
     totals = {"loss_sum": 0.0, "top1_sum": 0.0, "top5_sum": 0.0, "count": 0}
     t0 = time.perf_counter()
@@ -97,8 +113,16 @@ def validate(args) -> dict:
                 [batch["image"], np.zeros_like(batch["image"][:pad])])
             batch["label"] = np.concatenate(
                 [batch["label"], np.full(pad, -1, np.int32)])
-        m = step(variables, batch["image"], batch["label"])
+        m, top5 = step(variables, batch["image"], batch["label"])
         m = {k: float(v) for k, v in m.items()}
+        if real is not None:
+            top1 = np.asarray(top5)[:n, 0]
+            for p in top1:
+                ok = real[sample_idx] if sample_idx < len(real) else []
+                if ok:  # ReaL skips images with no acceptable label
+                    real_correct += int(p in ok)
+                    real_count += 1
+                sample_idx += 1
         # padded rows have label -1: they can never match top-k, but fix count
         totals["loss_sum"] += m["loss_sum"] * n / args.batch_size
         totals["top1_sum"] += m["top1_sum"]
@@ -119,11 +143,30 @@ def validate(args) -> dict:
         "crop_pct": args.crop_pct,
         "samples_per_sec": round(cnt / dt, 2),
     }
+    if real is not None and real_count:
+        results["real_top1"] = round(100.0 * real_correct / real_count, 4)
     return results
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.bulk:
+        import glob
+        paths = sorted(glob.glob(args.bulk)) or sorted(
+            os.path.join(args.bulk, p) for p in os.listdir(args.bulk))
+        all_results = []
+        for p in paths:
+            args.checkpoint = p
+            r = validate(args)
+            r["checkpoint"] = p
+            all_results.append(r)
+            print(json.dumps(r))
+        best = max(all_results, key=lambda r: r["top1"])
+        print(f"--result\n{json.dumps(best, indent=2)}")
+        if args.results_file:
+            with open(args.results_file, "w") as f:
+                json.dump(all_results, f, indent=2)
+        return best
     results = validate(args)
     if args.results_file:
         with open(args.results_file, "w") as f:

@@ -90,3 +90,18 @@ def test_events_jsonl_written(tmp_path):
     assert len(lines) == 2
     rec = json.loads(lines[1])
     assert rec["step"] == 2 and rec["loss"] == 0.25
+
+
+def test_validate_real_labels(tmp_path):
+    """ReaL re-scoring: synthetic run with a real.json accepting everything
+    must give real_top1 == 100."""
+    from lemevit_tpu.cli.validate import main
+    real = [[c for c in range(5)] for _ in range(64)]
+    path = tmp_path / "real.json"
+    path.write_text(json.dumps(real))
+    res = main([
+        "--synthetic", "--model", "lemevit_micro", "--img-size", "32",
+        "--batch-size", "4", "--num-classes", "5", "--max-batches", "2",
+        "--workers", "1", "--real-labels", str(path),
+    ])
+    assert res["real_top1"] == pytest.approx(100.0)
