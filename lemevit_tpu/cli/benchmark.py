@@ -37,14 +37,17 @@ def _count_params(variables) -> float:
 
 def _flops_estimate(fn, *args) -> float:
     """Analytic MACs via XLA cost analysis (replaces deepspeed/fvcore
-    profiling in the reference)."""
+    profiling in the reference). Prefers the CPU backend — the TPU tunnel's
+    AOT compile reports unreliable flop counts."""
     import jax
-    try:
-        analysis = jax.jit(fn).lower(*args).compile().cost_analysis()
-        if analysis and "flops" in analysis:
-            return float(analysis["flops"])
-    except Exception:
-        pass
+    for backend in ("cpu", None):
+        try:
+            jitted = jax.jit(fn, backend=backend) if backend else jax.jit(fn)
+            analysis = jitted.lower(*args).compile().cost_analysis()
+            if analysis and analysis.get("flops", 0) > 0:
+                return float(analysis["flops"])
+        except Exception:
+            continue
     return float("nan")
 
 
