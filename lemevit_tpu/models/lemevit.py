@@ -408,6 +408,8 @@ class LeMeViT(nn.Module):
                 x = ds(x, train=bn_train)
             c = self.meta_token_downsample[i](c)
             for block in self.stages[i]:
+                # no-op unless 'intermediates' is mutable (visualization)
+                self.sow("intermediates", "block_inputs", (x, c))
                 x, c = block(x, c, not train)
             if self.features_only and i in self.out_indices:
                 feats.append(x)

@@ -105,3 +105,17 @@ def test_validate_real_labels(tmp_path):
         "--workers", "1", "--real-labels", str(path),
     ])
     assert res["real_top1"] == pytest.approx(100.0)
+
+
+def test_visualize_attn(tmp_path):
+    from PIL import Image
+    import numpy as np
+    img_path = tmp_path / "img.png"
+    Image.fromarray(np.random.RandomState(0).randint(
+        0, 255, (64, 64, 3), np.uint8)).save(img_path)
+    from lemevit_tpu.cli.visualize_attn import main
+    main(["--image", str(img_path), "--model", "lemevit_micro",
+          "--img-size", "32", "--stage", "1", "--block", "0",
+          "--out", str(tmp_path / "vis")])
+    outs = list((tmp_path / "vis").iterdir())
+    assert len(outs) == 5  # 4 meta tokens + entropy map
