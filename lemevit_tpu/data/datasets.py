@@ -62,10 +62,19 @@ class SyntheticDataset:
 
 
 class ImageFolderDataset:
-    """Standard class-per-subdirectory layout."""
+    """Standard class-per-subdirectory layout.
+
+    cache_mode (reference cached_image_folder.py:123-143 semantics):
+      'no'   — read from disk every access
+      'full' — preload all encoded bytes into RAM at construction
+      'part' — rank-strided byte caching: this rank preloads its stride of
+               the dataset; other samples read from disk
+    """
 
     def __init__(self, root: str, transform: Optional[Callable] = None,
-                 class_map: Optional[Dict[str, int]] = None):
+                 class_map: Optional[Dict[str, int]] = None,
+                 cache_mode: str = "no", rank: int = 0,
+                 world_size: int = 1):
         self.root = root
         self.transform = transform
         classes = sorted(
@@ -79,13 +88,20 @@ class ImageFolderDataset:
                 if fn.lower().endswith(IMG_EXTS):
                     self.samples.append(
                         (os.path.join(cdir, fn), self.class_to_idx[c]))
+        self._bytes: Dict[int, bytes] = {}
+        if cache_mode in ("full", "part"):
+            step = 1 if cache_mode == "full" else world_size
+            start = 0 if cache_mode == "full" else rank
+            for i in range(start, len(self.samples), step):
+                with open(self.samples[i][0], "rb") as f:
+                    self._bytes[i] = f.read()
 
     def __len__(self):
         return len(self.samples)
 
     def __getitem__(self, i):
         path, label = self.samples[i]
-        img = _pil_open(path)
+        img = _pil_open(self._bytes.get(i, path))
         if self.transform:
             img = self.transform(img)
         return img, label

@@ -138,3 +138,22 @@ def test_synthetic_dataset_deterministic():
     a2, l2 = ds[2]
     np.testing.assert_array_equal(a1, a2)
     assert l1 == l2
+
+
+def test_image_folder_cache_modes(tmp_path):
+    for cls in ("a", "b"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(3):
+            _img(d / f"{i}.png")
+    full = ImageFolderDataset(str(tmp_path), cache_mode="full")
+    assert len(full._bytes) == 6
+    part = ImageFolderDataset(str(tmp_path), cache_mode="part",
+                              rank=1, world_size=2)
+    assert len(part._bytes) == 3
+    # cached and uncached reads agree
+    img_c, lab_c = full[2]
+    img_d, lab_d = ImageFolderDataset(str(tmp_path))[2]
+    assert lab_c == lab_d
+    import numpy as np
+    np.testing.assert_array_equal(np.asarray(img_c), np.asarray(img_d))
