@@ -278,8 +278,7 @@ def create_dataset(name: str, root: str = "", split: str = "train",
     if name in table:
         return table[name](root, split=split, transform=transform)
     if name in ("synthetic", "fake"):
-        return SyntheticDataset(transform=None, **kwargs) if False else \
-            SyntheticDataset(**kwargs)
+        return SyntheticDataset(**kwargs)
     if name in ("imagefolder", "folder", "image_folder", ""):
         split_dir = os.path.join(root, split)
         return ImageFolderDataset(
