@@ -343,6 +343,133 @@ def _dca_block_kernel(x_ref, c_ref,
         co_ref[0] = co.astype(dtype)
 
 
+def _dca_rows_kernel(x_ref, c_ref,
+                     ln1s_ref, ln1b_ref,
+                     wqkv1_ref, bqkv1_ref, wqkv2_ref, bqkv2_ref,
+                     wpx_ref, bpx_ref, wpc_ref, bpc_ref,
+                     ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                     xo_ref, co_ref, *,
+                     scale_x: float, scale_c: float, num_heads: int,
+                     head_dim: int, rows: int, n: int, m: int):
+    """Single-tile (whole image per row) DCA block with batch-row folding:
+    plain softmax (no online accumulation), flat matmuls over rows*N, and
+    per-(row, head) attention loops. fp32 elementwise (the bf16+folding
+    combination crashes Mosaic)."""
+    dtype = x_ref.dtype
+    c_dim = x_ref.shape[-1]
+    ln1s, ln1b = ln1s_ref[0], ln1b_ref[0]
+    ln2s, ln2b = ln2s_ref[0], ln2b_ref[0]
+
+    xflat = x_ref[:].reshape(rows * n, c_dim)
+    cflat = c_ref[:].reshape(rows * m, c_dim)
+    xa = _ln(xflat, ln1s, ln1b).astype(dtype)
+    ca = _ln(cflat, ln1s, ln1b).astype(dtype)
+    qkv1 = jax.lax.dot_general(
+        xa, wqkv1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv1 = (qkv1 + bqkv1_ref[0].astype(jnp.float32)).astype(dtype)
+    qkv2 = jax.lax.dot_general(
+        ca, wqkv2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv2 = (qkv2 + bqkv2_ref[0].astype(jnp.float32)).astype(dtype)
+    q1 = qkv1[:, :c_dim]
+    k1 = qkv1[:, c_dim:2 * c_dim]
+    v1 = qkv1[:, 2 * c_dim:]
+    q2 = qkv2[:, :c_dim]
+    k2 = qkv2[:, c_dim:2 * c_dim]
+    v2 = qkv2[:, 2 * c_dim:]
+
+    x_rows, c_rows = [], []
+    for r in range(rows):
+        xs = slice(r * n, (r + 1) * n)
+        cs = slice(r * m, (r + 1) * m)
+        x_outs, c_outs = [], []
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            # x <- meta
+            s = jax.lax.dot_general(
+                q1[xs, sl], k2[cs, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale_x
+            s = s - jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=1, keepdims=True)
+            x_outs.append(jax.lax.dot_general(
+                p.astype(dtype), v2[cs, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            # meta <- x (plain softmax: the whole row is in VMEM)
+            s2 = jax.lax.dot_general(
+                q2[cs, sl], k1[xs, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale_c
+            s2 = s2 - jnp.max(s2, axis=1, keepdims=True)
+            p2 = jnp.exp(s2)
+            p2 = p2 / jnp.sum(p2, axis=1, keepdims=True)
+            c_outs.append(jax.lax.dot_general(
+                p2.astype(dtype), v1[xs, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        x_rows.append(jnp.concatenate(x_outs, axis=-1))
+        c_rows.append(jnp.concatenate(c_outs, axis=-1))
+    ax = (jnp.concatenate(x_rows, axis=0) if rows > 1
+          else x_rows[0]).astype(dtype)
+    ac = (jnp.concatenate(c_rows, axis=0) if rows > 1
+          else c_rows[0]).astype(dtype)
+
+    ox = jax.lax.dot_general(ax, wpx_ref[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    x1 = xflat.astype(jnp.float32) + ox + bpx_ref[0].astype(jnp.float32)
+    xo = _mlp_residual(x1.astype(dtype), w1_ref[:], b1_ref[0], w2_ref[:],
+                       b2_ref[0], ln2s, ln2b, dtype)
+    xo_ref[:] = xo.astype(dtype).reshape(rows, n, c_dim)
+
+    oc = jax.lax.dot_general(ac, wpc_ref[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    c1 = cflat.astype(jnp.float32) + oc + bpc_ref[0].astype(jnp.float32)
+    co = _mlp_residual(c1.astype(dtype), w1_ref[:], b1_ref[0], w2_ref[:],
+                       b2_ref[0], ln2s, ln2b, dtype)
+    co_ref[:] = co.astype(dtype).reshape(rows, m, c_dim)
+
+
+def _dca_pick_rows(b: int, n: int, ch: int, hidden: int) -> int:
+    if ch == 320:
+        return 1
+    per_row = 2 * (2 * n * ch + 6 * n * ch + n * max(hidden, ch))
+    for r in (8, 4, 2):
+        if b % r == 0 and per_row * r < 9 * 1024 * 1024:
+            return r
+    return 1
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale_x", "scale_c", "num_heads",
+                                    "rows"))
+def _dca_rows_call(x, c, params, scale_x, scale_c, num_heads, rows):
+    b, n, ch = x.shape
+    m = c.shape[1]
+    d = ch // num_heads
+    row = lambda t: t.reshape(1, -1)
+    (ln1s, ln1b, wqkv1, bqkv1, wqkv2, bqkv2, wpx, bpx, wpc, bpc,
+     ln2s, ln2b, w1, b1, w2, b2) = params
+    weights = [row(ln1s), row(ln1b), wqkv1, row(bqkv1), wqkv2, row(bqkv2),
+               wpx, row(bpx), wpc, row(bpc), row(ln2s), row(ln2b),
+               w1, row(b1), w2, row(b2)]
+    kernel = functools.partial(
+        _dca_rows_kernel, scale_x=float(scale_x), scale_c=float(scale_c),
+        num_heads=num_heads, head_dim=d, rows=rows, n=n, m=m)
+    x_spec = pl.BlockSpec((rows, n, ch), lambda bi: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((rows, m, ch), lambda bi: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_specs = _weight_specs([w.shape for w in weights])
+    return pl.pallas_call(
+        kernel,
+        grid=(b // rows,),
+        in_specs=[x_spec, c_spec] + w_specs,
+        out_specs=[x_spec, c_spec],
+        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct(c.shape, c.dtype)],
+        interpret=_INTERPRET,
+    )(x, c, *weights)
+
+
 def _pick_tile(n: int, c: int = 0, hidden: int = 0) -> int:
     """Prefer the whole row in one tile when it fits VMEM: per-grid-step op
     overhead (~0.5us x ~16 ops) dominates at small tiles, and a single tile
@@ -427,6 +554,11 @@ def dca_block(x, c, params, *, num_heads: int, scale_x: float,
         return None
     if cpe is not None and tile != n:
         return None  # fused CPE needs the full image per tile
+    if cpe is None and tile == n:
+        rows = _dca_pick_rows(b, n, ch, params[12].shape[1])
+        if rows > 1:
+            return tuple(_dca_rows_call(x, c, tuple(params), scale_x,
+                                        scale_c, num_heads, rows))
     return tuple(_dca_block_call(x, c, tuple(params), scale_x, scale_c,
                                  num_heads, cpe=cpe, img_w=img_w))
 

@@ -272,3 +272,28 @@ def test_fused_s_block_row_folding():
                                    rtol=2e-5, atol=2e-5)
     finally:
         monkey.undo()
+
+
+def test_fused_dca_rows_matches_composition():
+    """Row-folded single-tile DCA path (batch 8, small N -> rows>1)."""
+    from lemevit_tpu.attn import pallas_block
+    from lemevit_tpu.models.lemevit import LeMeBlock
+    monkey = pytest.MonkeyPatch()
+    monkey.setattr(pallas_block, "_INTERPRET", True)
+    try:
+        assert pallas_block._dca_pick_rows(8, 256, C, 2 * C) > 1
+        blk_x = LeMeBlock(dim=C, num_heads=H, attn_type="D", cpe_ks=0,
+                          attn_backend="xla")
+        blk_p = LeMeBlock(dim=C, num_heads=H, attn_type="D", cpe_ks=0,
+                          attn_backend="pallas")
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 16, C))
+        c = jax.random.normal(jax.random.PRNGKey(1), (8, 16, C))
+        v = blk_x.init(jax.random.PRNGKey(2), x, c)
+        xo1, co1 = blk_x.apply(v, x, c)
+        xo2, co2 = blk_p.apply(v, x, c)
+        np.testing.assert_allclose(np.asarray(xo2), np.asarray(xo1),
+                                   rtol=3e-5, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(co2), np.asarray(co1),
+                                   rtol=3e-5, atol=3e-5)
+    finally:
+        monkey.undo()
