@@ -429,7 +429,9 @@ def _dca_rows_kernel(x_ref, c_ref,
 
 
 def _dca_pick_rows(b: int, n: int, ch: int, hidden: int) -> int:
-    if ch == 320:
+    # empirical Mosaic crash blocklist (v5e): the folded reshape fails at
+    # ch=320 (s_block too) and at ch=192 with N>=784 in this kernel
+    if ch in (192, 320):
         return 1
     per_row = 2 * (2 * n * ch + 6 * n * ch + n * max(hidden, ch))
     for r in (8, 4, 2):
