@@ -119,3 +119,24 @@ def test_visualize_attn(tmp_path):
           "--out", str(tmp_path / "vis")])
     outs = list((tmp_path / "vis").iterdir())
     assert len(outs) == 5  # 4 meta tokens + entropy map
+
+
+def test_validate_bulk(tmp_path):
+    """--bulk validates every checkpoint and reports the best."""
+    import torch
+    from tests import torch_oracle
+    cfg = dict(depth=(1, 1, 1, 1, 1), embed_dim=(16, 16, 32, 32, 32),
+               head_dim=8, mlp_ratios=(2, 2, 2, 2, 2),
+               attn_type=("C", "D", "D", "S", "S"), queries_len=4,
+               num_classes=5)
+    for i in range(2):
+        sd = torch_oracle.make_state_dict(cfg, seed=i)
+        torch.save({"state_dict": sd}, str(tmp_path / f"ckpt{i}.pth"))
+    from lemevit_tpu.cli import validate as vcli
+    # lemevit_micro matches the oracle cfg shapes (same registry config)
+    res = vcli.main([
+        "--synthetic", "--model", "lemevit_micro", "--img-size", "32",
+        "--batch-size", "4", "--num-classes", "5", "--max-batches", "1",
+        "--workers", "1", "--bulk", str(tmp_path / "ckpt*.pth"),
+    ])
+    assert "checkpoint" in res and res["top1"] >= 0.0
