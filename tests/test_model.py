@@ -115,3 +115,42 @@ def test_golden_logits_regression():
     v = model.init(jax.random.PRNGKey(7), x)
     out = np.asarray(model.apply(v, x))
     np.testing.assert_allclose(out, golden, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("attn_type", ["S", "D", "C"])
+def test_post_norm_and_layer_scale_paths(attn_type):
+    """The pre_norm=False and layer-scale variants must run and differ from
+    the default path (they exist for config parity; no released variant
+    uses them)."""
+    from lemevit_tpu.models.lemevit import LeMeBlock
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 32))
+    c = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32))
+    base = LeMeBlock(dim=32, num_heads=2, attn_type=attn_type,
+                     attn_backend="xla")
+    v = base.init(jax.random.PRNGKey(2), x, c)
+    out_pre = base.apply(v, x, c)
+
+    post = LeMeBlock(dim=32, num_heads=2, attn_type=attn_type,
+                     pre_norm=False, attn_backend="xla")
+    vp = post.init(jax.random.PRNGKey(2), x, c)
+    out_post = post.apply(vp, x, c)
+    assert not np.allclose(np.asarray(out_post[1]), np.asarray(out_pre[1]))
+
+    ls = LeMeBlock(dim=32, num_heads=2, attn_type=attn_type,
+                   layer_scale_init_value=1e-2, attn_backend="xla")
+    vl = ls.init(jax.random.PRNGKey(2), x, c)
+    assert "gamma1" in vl["params"]
+    out_ls = ls.apply(vl, x, c)
+    assert np.isfinite(np.asarray(out_ls[1])).all()
+
+
+def test_mlp_dwconv_variant():
+    """mlp_dwconv=True applies a depthwise conv inside the image-token MLP
+    (no released variant uses it; the meta branch cannot, matching the
+    reference which would also fail there)."""
+    from lemevit_tpu.core.layers import Mlp
+    mlp = Mlp(16, 32, use_dwconv=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 16))
+    v = mlp.init(jax.random.PRNGKey(1), x, (8, 8))
+    out = mlp.apply(v, x, (8, 8))
+    assert out.shape == (1, 64, 16)
