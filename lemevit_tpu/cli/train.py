@@ -282,9 +282,18 @@ def train(args, args_text: str = ""):
                     if variables is None:
                         continue
                     tot = {"top1_sum": 0.0, "top5_sum": 0.0, "count": 0}
+                    # val batches are per-process shards (device_batch/nproc),
+                    # like train batches; skip only the ragged tail, and
+                    # assemble the global array under multi-host.
+                    local_batch = device_batch // nproc
                     for batch in val_loader:
-                        if batch["image"].shape[0] != device_batch:
+                        if batch["image"].shape[0] != local_batch:
                             continue
+                        if nproc > 1:
+                            batch = {
+                                k: jax.make_array_from_process_local_data(
+                                    batch_sharding, v)
+                                for k, v in batch.items()}
                         m = val_step(variables, batch["image"],
                                      batch["label"])
                         tot["top1_sum"] += float(m["top1_sum"])

@@ -97,7 +97,21 @@ def validate(args) -> dict:
     real = None
     if args.real_labels:
         with open(args.real_labels) as f:
-            real = json.load(f)  # list (per sorted val image) of ok labels
+            raw = json.load(f)
+        # real.json is indexed by the flat-sorted val filename order
+        # (ILSVRC2012_val_%08d.JPEG), NOT the class-dir-major order the
+        # ImageFolder dataset iterates in -- key by basename like timm's
+        # RealLabelsImagenet and look each sample up by its own filename.
+        if isinstance(raw, dict):
+            real = raw
+        else:
+            real = {f"ILSVRC2012_val_{i + 1:08d}.JPEG": labels
+                    for i, labels in enumerate(raw)}
+        sample_paths = [p for p, _ in getattr(dataset, "samples", [])]
+        if not sample_paths:
+            raise ValueError(
+                "--real-labels needs a dataset exposing .samples paths "
+                f"(got {type(dataset).__name__})")
     real_correct = 0
     real_count = 0
     sample_idx = 0
@@ -118,13 +132,16 @@ def validate(args) -> dict:
         if real is not None:
             top1 = np.asarray(top5)[:n, 0]
             for p in top1:
-                ok = real[sample_idx] if sample_idx < len(real) else []
+                name = os.path.basename(sample_paths[sample_idx]) \
+                    if sample_idx < len(sample_paths) else ""
+                ok = real.get(name, [])
                 if ok:  # ReaL skips images with no acceptable label
                     real_correct += int(p in ok)
                     real_count += 1
                 sample_idx += 1
-        # padded rows have label -1: they can never match top-k, but fix count
-        totals["loss_sum"] += m["loss_sum"] * n / args.batch_size
+        # padded rows (label -1) one-hot to all-zeros, so loss_sum already
+        # equals the sum over real rows; top-k can't match -1 either
+        totals["loss_sum"] += m["loss_sum"]
         totals["top1_sum"] += m["top1_sum"]
         totals["top5_sum"] += m["top5_sum"]
         totals["count"] += n

@@ -47,8 +47,13 @@ def _lin(w):
 
 def strip_prefixes(sd: Mapping[str, Any]) -> Dict[str, Any]:
     """Unwrap {model|state_dict|state_dict_ema} containers and strip
-    module./backbone. prefixes."""
-    for key in ("state_dict_ema", "state_dict", "model"):
+    module./backbone. prefixes.
+
+    Container preference order matches the reference loaders (state_dict
+    first): a checkpoint holding both plain and EMA weights yields the plain
+    ones unless the caller explicitly re-wraps the EMA weights (see
+    ``load_pretrained(use_ema=True)``)."""
+    for key in ("state_dict", "state_dict_ema", "model"):
         if key in sd and isinstance(sd[key], Mapping):
             sd = sd[key]
             break

@@ -75,29 +75,40 @@ def soft_nms(boxes: jax.Array, scores: jax.Array,
              iou_threshold: float = 0.3, sigma: float = 0.5,
              method: str = "linear", score_threshold: float = 1e-3
              ) -> jax.Array:
-    """Soft-NMS (linear / gaussian decay). Returns decayed scores (N,);
-    callers threshold at score_threshold."""
-    n = boxes.shape[0]
-    order = jnp.argsort(-scores)
-    b = boxes[order]
-    s0 = scores[order]
-    iou = box_iou(b, b)
+    """Soft-NMS (linear / gaussian decay). Returns decayed scores (N,),
+    zeroed below score_threshold.
 
-    def body(i, s):
-        # pick the current max among not-yet-processed (>= i by construction
-        # when scores only decay); decay all later boxes against box i
-        ov = iou[i]
+    True soft-NMS re-selects the running max after each decay round
+    (decay can reorder scores), so each iteration argmaxes over the
+    not-yet-selected boxes rather than walking the initial score order.
+    Matches native/leme_ops.cpp::leme_soft_nms and the reference CPU
+    soft_nms (nms/src/cpu/nms_cpu.cpp) elementwise.
+    """
+    n = boxes.shape[0]
+    iou = box_iou(boxes, boxes)
+    not_self = ~jnp.eye(n, dtype=bool)
+
+    def body(_, carry):
+        s, remaining = carry
+        cur = jnp.argmax(jnp.where(remaining, s, -jnp.inf))
+        ov = iou[cur]
         if method == "gaussian":
             decay = jnp.exp(-(ov ** 2) / sigma)
         else:
             decay = jnp.where(ov > iou_threshold, 1.0 - ov, 1.0)
-        decay = decay.at[i].set(1.0)
-        later = jnp.arange(n) > i
-        return jnp.where(later, s * decay, s)
+        remaining = remaining.at[cur].set(False)
+        # the selected box's score is frozen; only unselected boxes decay
+        s = jnp.where(remaining & not_self[cur], s * decay, s)
+        return s, remaining
 
-    s = lax.fori_loop(0, n, body, s0)
-    out = jnp.zeros((n,), scores.dtype).at[order].set(s)
-    return jnp.where(out > score_threshold, out, 0.0)
+    s, _ = lax.fori_loop(
+        0, n, body,
+        (scores.astype(jnp.float32), jnp.ones((n,), bool)))
+    # C++ / reference semantics: zero strictly-below-threshold scores.
+    # (The C++ early-break when the running max drops below threshold is
+    # equivalent: every box it stops decaying is already sub-threshold and
+    # decay only shrinks non-negative scores.)
+    return jnp.where(s >= score_threshold, s, 0.0).astype(scores.dtype)
 
 
 def batched_nms(boxes: jax.Array, scores: jax.Array, idxs: jax.Array,

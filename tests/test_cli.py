@@ -93,15 +93,31 @@ def test_events_jsonl_written(tmp_path):
 
 
 def test_validate_real_labels(tmp_path):
-    """ReaL re-scoring: synthetic run with a real.json accepting everything
-    must give real_top1 == 100."""
+    """ReaL re-scoring keys real.json by FILENAME, not loader order.
+
+    The 4 val images are named ILSVRC2012_val_00000005..08 (real.json
+    entries 4..7, which accept every class -> real_top1 == 100). Entries
+    0..3 are empty: the old index-by-iteration-order bug would consume
+    those instead and report no real_top1 at all.
+    """
+    import numpy as np
+    from PIL import Image
     from lemevit_tpu.cli.validate import main
-    real = [[c for c in range(5)] for _ in range(64)]
+
+    val = tmp_path / "data" / "validation"
+    rng = np.random.RandomState(0)
+    for cls, nums in [("class_a", (6, 8)), ("class_b", (5, 7))]:
+        (val / cls).mkdir(parents=True)
+        for i in nums:
+            Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)).save(
+                val / cls / f"ILSVRC2012_val_{i:08d}.JPEG", format="JPEG")
+    real = [[] for _ in range(4)] + [list(range(5)) for _ in range(4)]
     path = tmp_path / "real.json"
     path.write_text(json.dumps(real))
     res = main([
-        "--synthetic", "--model", "lemevit_micro", "--img-size", "32",
-        "--batch-size", "4", "--num-classes", "5", "--max-batches", "2",
+        "--model", "lemevit_micro", "--img-size", "32",
+        "--dataset", "imagefolder", "--data-dir", str(tmp_path / "data"),
+        "--batch-size", "4", "--num-classes", "5",
         "--workers", "1", "--real-labels", str(path),
     ])
     assert res["real_top1"] == pytest.approx(100.0)

@@ -61,3 +61,23 @@ def test_native_soft_nms_decays():
     assert out[0] == pytest.approx(0.9)
     assert out[1] < 0.8
     assert out[2] == pytest.approx(0.7, abs=1e-5)
+
+
+def test_soft_nms_jax_matches_native_on_reordering_inputs():
+    """Dense overlapping boxes make decay reorder the running max; the JAX
+    path must re-select it like the C++ twin (true soft-NMS), not walk the
+    initial score order."""
+    rng = np.random.RandomState(3)
+    for seed in range(4):
+        rng = np.random.RandomState(seed)
+        n = 40
+        xy = rng.rand(n, 2) * 15  # crowded: heavy overlap
+        wh = rng.rand(n, 2) * 20 + 5
+        boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+        scores = rng.rand(n).astype(np.float32)
+        for method in ("linear", "gaussian"):
+            got = np.asarray(jops.soft_nms(
+                jnp.asarray(boxes), jnp.asarray(scores), method=method))
+            ref = native.soft_nms(boxes, scores, method=method)
+            np.testing.assert_allclose(got, ref, atol=1e-5,
+                                       err_msg=f"seed={seed} {method}")

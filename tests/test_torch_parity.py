@@ -95,3 +95,7 @@ def test_prefix_stripping():
     sd = {"model": {"module.head.weight": 1, "backbone.norm.bias": 2}}
     out = strip_prefixes(sd)
     assert out == {"head.weight": 1, "norm.bias": 2}
+    # checkpoints carrying both plain and EMA weights must yield the plain
+    # ones (reference loader order; --use-ema re-wraps explicitly)
+    both = {"state_dict": {"w": "plain"}, "state_dict_ema": {"w": "ema"}}
+    assert strip_prefixes(both) == {"w": "plain"}
