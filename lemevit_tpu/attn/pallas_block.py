@@ -21,6 +21,7 @@ mode). Pre-norm, no layer-scale (all released LeMeViT variants).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -35,6 +36,15 @@ except ImportError:  # pragma: no cover
 
 _INTERPRET = False
 _MAX_N_SBLOCK = 1024
+# Joint-softmax head grouping (see _attn_rows). PB_GROUP=0 reverts every
+# call site to the per-head loop — kept as an A/B lever for kbench.
+_GROUP = os.environ.get("PB_GROUP", "1") != "0"
+# PB_GC=0 forces the ONLINE (thin-query) attention to the per-head loop
+# while keeping joint grouping for the wide-query directions.
+_GROUP_ONLINE = os.environ.get("PB_GC", "1") != "0"
+# PB_EW=1 evaluates LN-apply/GELU in the input dtype (bf16 in prod) in the
+# row-unfolded kernels; fp32 inputs keep fp32 elementwise either way.
+_EW = os.environ.get("PB_EW", "0") != "0"
 
 
 def _ln(t, scale, bias, eps=1e-6, ew=jnp.float32):
@@ -50,18 +60,30 @@ def _ln(t, scale, bias, eps=1e-6, ew=jnp.float32):
     return out * scale.astype(ew) + bias.astype(ew)
 
 
+# erf(x) = x * P(s), s = 2 x^2 / B^2 - 1, fit on |x| <= B = 3.925 (weighted
+# Chebyshev LSQ in the scaled domain; fp32 Horner max |err| = 5.1e-7).
+# Clamping x to [-B, B] handles the tail (erf(B) = 1 - 2.9e-8). Pure
+# multiply-add: no exp / divide, which are multi-pass VPU transcendentals
+# and dominated the old Abramowitz-Stegun form on the (N, 4C) GELU tensor.
+_ERF_B = 3.925
+_ERF_P = (3.6027794364e-01, -1.7988466805e-01, 1.3393152019e-01,
+          -1.0907175299e-01, 9.0606976620e-02, -7.4288916019e-02,
+          5.8309038237e-02, -4.2462337431e-02, 3.0498341857e-02,
+          -2.3130013672e-02, 1.3295609324e-02, -3.5220870811e-03,
+          2.7808746265e-03, -4.4408601711e-03, 1.8774974659e-03)
+
+
 def _erf(x):
-    """Abramowitz-Stegun 7.1.26 polynomial erf (|err| < 1.5e-7).
+    """Polynomial erf (odd, degree-29 in x): |err| < 5.1e-7, no exp/divide.
     Pallas TPU has no erf primitive; this keeps exact-GELU parity well
-    inside bf16/fp32 activation tolerance using only exp. Sign via fp32
-    comparison (Mosaic rejects bf16 vector cmpf)."""
-    sign = jnp.sign(x.astype(jnp.float32)).astype(x.dtype)
-    ax = jnp.abs(x)
-    one = jnp.asarray(1.0, x.dtype)
-    t = one / (one + jnp.asarray(0.3275911, x.dtype) * ax)
-    poly = (t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))).astype(x.dtype)
-    return sign * (one - poly * jnp.exp(-ax * ax))
+    inside bf16/fp32 activation tolerance using only FMAs."""
+    xc = jnp.clip(x, -_ERF_B, _ERF_B)
+    s = xc * xc * jnp.asarray(2.0 / (_ERF_B * _ERF_B), x.dtype) \
+        - jnp.asarray(1.0, x.dtype)
+    acc = jnp.asarray(_ERF_P[-1], x.dtype)
+    for coef in _ERF_P[-2::-1]:
+        acc = acc * s + jnp.asarray(coef, x.dtype)
+    return xc * acc
 
 
 def _gelu(t, ew=jnp.float32):
@@ -104,21 +126,143 @@ def _cpe_flat(xt, wc, bc, hh, ww):
     return xt + acc
 
 
-def _attn_rows(q, k, v, scale, num_heads, head_dim, out_dtype):
-    """Per-head attention on 2D (R,C)x(S,C) tiles; returns (R,C)."""
+def _pick_group(num_heads: int, head_dim: int) -> int:
+    """Largest divisor g of num_heads with g*head_dim <= 128 (uniform head
+    groups so one block mask serves every group). 1 disables grouping."""
+    if not _GROUP:
+        return 1
+    g = max(1, 128 // head_dim)
+    while g > 1 and num_heads % g != 0:
+        g -= 1
+    return g
+
+
+def _bd_mask(s, g, d, dtype):
+    """(g*S, g*d) block-diagonal 0/1 mask: element (i, c) = 1 iff row i's
+    S-block equals column c's d-block. Built OUTSIDE pallas_call and passed
+    in as an input: in-kernel iota compares at this size re-run every grid
+    step (~1ms/block at stage-0 scale, measured) while an input mask stays
+    VMEM-resident."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (g * s, g * d), 0) // s
+    ci = jax.lax.broadcasted_iota(jnp.int32, (g * s, g * d), 1) // d
+    return (ri == ci).astype(dtype)
+
+
+def _bd_tile(t, g, mask):
+    """Block-diagonally expand (S, g*d) -> (g*S, g*d) in two VPU ops:
+    row-tile then multiply by the static block mask. Copy j keeps only head
+    j's d-column block, so g heads' QK^T / PV contractions run as ONE
+    full-lane MXU dot each (cross-head terms vanish by masking)."""
+    if g == 1:
+        return t
+    return jnp.concatenate([t] * g, axis=0) * mask
+
+
+# Joint-softmax head grouping: all g heads' scores live in one (R, g*S)
+# matrix (column block j = head j). ONE global row-max shifts every block by
+# the same per-row constant (softmax-invariant), so a single exp pass covers
+# all heads; the per-head normalizers come back as one MXU dot p @ mask,
+# whose output replicates each block's sum across that head's d columns.
+# The -60 clip guards cross-head underflow (exp(-60)=8.8e-27 keeps the
+# normalizer finite even when one head's scores sit far below the global
+# row max; a fully-clipped head degrades to uniform attention instead of
+# NaN).
+_NEG_CLIP = -60.0
+# g*T rows above this crash the Mosaic compiler on v5e (expansion to
+# (9408, 96) at DCA stage-1 scale; 3136 verified fine) — callers fall back
+# to the per-head loop rather than tiling the expansion.
+_MAX_BD_ROWS = 4096
+
+
+def _attn_rows(q, k, v, scale, num_heads, head_dim, out_dtype, mask=None):
+    """Attention on 2D (R,C)x(S,C) tiles; returns (R,C).
+
+    With `mask` (the (g*S, g*d) block mask, g = mask cols // head_dim):
+    joint-softmax head grouping — ~12 Mosaic ops per group instead of ~9
+    per head, with full-lane MXU dots. The dots compute g x the needed
+    FLOPs (zero blocks) — negligible next to qkv/MLP at these tile sizes.
+    mask=None runs the per-head loop."""
+    g = 1 if mask is None else mask.shape[1] // head_dim
     outs = []
-    for h in range(num_heads):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        s = jax.lax.dot_general(
-            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+    for h0 in range(0, num_heads, g):
+        gs = slice(h0 * head_dim, (h0 + g) * head_dim)
+        if g == 1:
+            s = jax.lax.dot_general(
+                q[:, gs], k[:, gs], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = s - jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=1, keepdims=True)
+            outs.append(jax.lax.dot_general(
+                p.astype(v.dtype), v[:, gs], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            continue
+        kbd = _bd_tile(k[:, gs], g, mask)
+        vbd = _bd_tile(v[:, gs], g, mask)
+        sc = jax.lax.dot_general(
+            q[:, gs], kbd, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        s = s - jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
-        outs.append(jax.lax.dot_general(
-            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    return jnp.concatenate(outs, axis=-1).astype(out_dtype)
+        m = jnp.max(sc, axis=1, keepdims=True)
+        p = jnp.exp(jnp.maximum(sc - m, _NEG_CLIP)).astype(v.dtype)
+        o_raw = jax.lax.dot_general(
+            p, vbd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        lb = jax.lax.dot_general(
+            p, mask, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        outs.append(o_raw / lb)
+    return (jnp.concatenate(outs, axis=-1) if len(outs) > 1
+            else outs[0]).astype(out_dtype)
+
+
+def _online_attn(q, k, v, scale, num_heads, head_dim, m_scr, l_scr, acc_scr,
+                 dtype, mask=None):
+    """One online-softmax step: q (M,C) attends to this tile's k/v (T,C),
+    updating running stats and the fp32 accumulator in scratch. l_scr is
+    lane-replicated (M, C): head h's normalizer occupies its d columns, so
+    the final normalize is a single acc/l divide with no per-head slicing.
+
+    With `mask` ((g*T, g*d) block mask): joint softmax per head group — the
+    group shares ONE running max (stored in the group's first m_scr column)
+    and the per-head tile sums come back replicated via a single p @ mask
+    MXU dot."""
+    tile = k.shape[0]
+    g = 1 if mask is None else mask.shape[1] // head_dim
+    for h0 in range(0, num_heads, g):
+        gs = slice(h0 * head_dim, (h0 + g) * head_dim)
+        hs = slice(h0, h0 + 1)           # (group-shared) running max slot
+        if g == 1:
+            s2 = jax.lax.dot_general(
+                q[:, gs], k[:, gs], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            m_prev = m_scr[:, hs]
+            m_cur = jnp.maximum(m_prev, jnp.max(s2, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_cur)
+            pj = jnp.exp(s2 - m_cur)
+            l_scr[:, gs] = l_scr[:, gs] * alpha + jnp.sum(pj, axis=1,
+                                                          keepdims=True)
+            m_scr[:, hs] = m_cur
+            acc_scr[:, gs] = acc_scr[:, gs] * alpha + jax.lax.dot_general(
+                pj.astype(dtype), v[:, gs], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            continue
+        kbd = _bd_tile(k[:, gs], g, mask)
+        vbd = _bd_tile(v[:, gs], g, mask)
+        sc = jax.lax.dot_general(
+            q[:, gs], kbd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        m_prev = m_scr[:, hs]
+        m_cur = jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)  # (M, 1): broadcasts over the group
+        p = jnp.exp(jnp.maximum(sc - m_cur, _NEG_CLIP)).astype(dtype)
+        # per-head tile sums, replicated across each head's d columns
+        l_scr[:, gs] = l_scr[:, gs] * alpha + jax.lax.dot_general(
+            p, mask, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:, hs] = m_cur
+        acc_scr[:, gs] = acc_scr[:, gs] * alpha + jax.lax.dot_general(
+            p, vbd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
 
 def _mlp_residual(t, w1, b1, w2, b2, ln_s, ln_b, dtype, ew=jnp.float32):
@@ -134,14 +278,14 @@ def _mlp_residual(t, w1, b1, w2, b2, ln_s, ln_b, dtype, ew=jnp.float32):
 def _s_block_kernel(x_ref, c_ref,
                     ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
                     ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                    wcpe_ref, bcpe_ref,
+                    wcpe_ref, bcpe_ref, maskx_ref, maskc_ref,
                     xo_ref, co_ref, *,
                     scale: float, num_heads: int, head_dim: int,
                     rows: int, n: int, m: int, use_cpe: bool,
-                    img_w: int):
+                    img_w: int, g: int):
     """rows = batch rows folded into one grid step: the dense matmuls run on
     (rows*n, C) — per-step op overhead amortizes — while attention loops
-    (row, head) pairs with independent softmaxes."""
+    (row, head-group) pairs with independent softmaxes."""
     dtype = x_ref.dtype
     c_dim = x_ref.shape[-1]
     ln1s, ln1b = ln1s_ref[0], ln1b_ref[0]
@@ -151,7 +295,8 @@ def _s_block_kernel(x_ref, c_ref,
     w1, b1 = w1_ref[:], b1_ref[0]
     w2, b2 = w2_ref[:], b2_ref[0]
 
-    def branch(t, seq):
+    def branch(t, seq, mask_ref):
+        mask = mask_ref[:] if g > 1 else None
         a = _ln(t, ln1s, ln1b).astype(dtype)
         qkv = jax.lax.dot_general(
             a, wqkv, (((1,), (0,)), ((), ())),
@@ -164,7 +309,7 @@ def _s_block_kernel(x_ref, c_ref,
         for r in range(rows):
             rs = slice(r * seq, (r + 1) * seq)
             outs.append(_attn_rows(q[rs], k[rs], v[rs], scale, num_heads,
-                                   head_dim, dtype))
+                                   head_dim, dtype, mask=mask))
         o = jnp.concatenate(outs, axis=0) if rows > 1 else outs[0]
         o = jax.lax.dot_general(o, wp, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -179,9 +324,9 @@ def _s_block_kernel(x_ref, c_ref,
         # (rid % N) stop shifts from bleeding across images
         xflat = _cpe_flat(xflat, wcpe_ref[:], bcpe_ref[0],
                           n // img_w, img_w)
-    xo_ref[:] = branch(xflat, n).reshape(rows, n, c_dim)
+    xo_ref[:] = branch(xflat, n, maskx_ref).reshape(rows, n, c_dim)
     co_ref[:] = branch(c_ref[:].reshape(rows * m, c_dim),
-                       m).reshape(rows, m, c_dim)
+                       m, maskc_ref).reshape(rows, m, c_dim)
 
 
 def _weight_specs(shapes):
@@ -198,7 +343,7 @@ def _pick_rows(b: int, n: int, ch: int, hidden: int) -> int:
     if ch == 320:
         return 1
     per_row = 2 * (2 * n * ch + 3 * n * ch + n * max(hidden, ch))
-    budget = 9 * 1024 * 1024
+    budget = int(os.environ.get("PB_S_VMEM_MB", "9")) * 1024 * 1024
     rows = 1
     for r in (16, 8, 4, 2):
         if b % r == 0 and per_row * r < budget:
@@ -223,13 +368,18 @@ def _s_block_call(x, c, params, scale, num_heads, cpe=None, img_w=0):
         bcpe = jnp.zeros((1, ch), x.dtype)
     else:
         wcpe, bcpe = cpe[0], row(cpe[1])
+    g = _pick_group(num_heads, d)
+    dummy = jnp.zeros((8, 128), x.dtype)
+    maskx = _bd_mask(n, g, d, x.dtype) if g > 1 else dummy
+    maskc = _bd_mask(m, g, d, x.dtype) if g > 1 else dummy
     weights = [row(ln1s), row(ln1b), wqkv, row(bqkv), wp, row(bp),
                row(ln2s), row(ln2b), w1, row(b1), w2, row(b2),
-               wcpe, bcpe]
+               wcpe, bcpe, maskx, maskc]
     kernel = functools.partial(_s_block_kernel, scale=float(scale),
                                num_heads=num_heads, head_dim=d,
                                rows=rows, n=n, m=m,
-                               use_cpe=cpe is not None, img_w=img_w or 1)
+                               use_cpe=cpe is not None, img_w=img_w or 1,
+                               g=g)
     x_spec = pl.BlockSpec((rows, n, ch), lambda bi: (bi, 0, 0),
                           memory_space=pltpu.VMEM)
     c_spec = pl.BlockSpec((rows, m, ch), lambda bi: (bi, 0, 0),
@@ -251,21 +401,22 @@ def _dca_block_kernel(x_ref, c_ref,
                       wqkv1_ref, bqkv1_ref, wqkv2_ref, bqkv2_ref,
                       wpx_ref, bpx_ref, wpc_ref, bpc_ref,
                       ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                      wcpe_ref, bcpe_ref,
+                      wcpe_ref, bcpe_ref, maskx_ref, maskc_ref,
                       xo_ref, co_ref,
                       q2_scr, k2_scr, v2_scr, m_scr, l_scr, acc_scr,
                       *, scale_x: float, scale_c: float, n_tiles: int,
                       num_heads: int, head_dim: int, use_cpe: bool,
-                      img_w: int):
+                      img_w: int, gx: int, gc: int):
     t = pl.program_id(1)
     dtype = x_ref.dtype
+    ew = dtype if _EW else jnp.float32
     c_dim = x_ref.shape[-1]
     ln1s, ln1b = ln1s_ref[0], ln1b_ref[0]
     ln2s, ln2b = ln2s_ref[0], ln2b_ref[0]
 
     @pl.when(t == 0)
     def _():
-        ca = _ln(c_ref[0], ln1s, ln1b).astype(dtype)
+        ca = _ln(c_ref[0], ln1s, ln1b, ew=ew).astype(dtype)
         qkv2 = jax.lax.dot_general(
             ca, wqkv2_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -282,7 +433,7 @@ def _dca_block_kernel(x_ref, c_ref,
     if use_cpe:  # only engaged when the tile spans the whole image
         xt = _cpe_flat(xt, wcpe_ref[:], bcpe_ref[0],
                        xt.shape[0] // img_w, img_w)
-    xa = _ln(xt, ln1s, ln1b).astype(dtype)
+    xa = _ln(xt, ln1s, ln1b, ew=ew).astype(dtype)
     qkv1 = jax.lax.dot_general(
         xa, wqkv1_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -291,55 +442,32 @@ def _dca_block_kernel(x_ref, c_ref,
     k1 = qkv1[:, c_dim:2 * c_dim]
     v1 = qkv1[:, 2 * c_dim:]
 
-    outs = []
-    for h in range(num_heads):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        # x direction: tile rows attend to the M meta tokens
-        s = jax.lax.dot_general(
-            q1[:, sl], k2_scr[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale_x
-        s = s - jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
-        outs.append(jax.lax.dot_general(
-            p.astype(dtype), v2_scr[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-        # c direction: online softmax over the N tiles
-        s2 = jax.lax.dot_general(
-            q2_scr[:, sl], k1[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale_c
-        hs = slice(h, h + 1)
-        m_prev = m_scr[:, hs]
-        m_cur = jnp.maximum(m_prev, jnp.max(s2, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_cur)
-        p2 = jnp.exp(s2 - m_cur)
-        l_scr[:, hs] = l_scr[:, hs] * alpha + jnp.sum(p2, axis=1,
-                                                      keepdims=True)
-        acc_scr[:, sl] = acc_scr[:, sl] * alpha + jax.lax.dot_general(
-            p2.astype(dtype), v1[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_scr[:, hs] = m_cur
+    # x direction: tile rows attend to the M meta tokens
+    attn_x = _attn_rows(q1, k2_scr[:], v2_scr[:], scale_x, num_heads,
+                        head_dim, dtype,
+                        mask=maskx_ref[:] if gx > 1 else None)
 
-    attn_x = jnp.concatenate(outs, axis=-1).astype(dtype)
+    # c direction: online softmax over the N tiles
+    _online_attn(q2_scr[:], k1, v1, scale_c, num_heads, head_dim,
+                 m_scr, l_scr, acc_scr, dtype,
+                 mask=maskc_ref[:] if gc > 1 else None)
     o = jax.lax.dot_general(attn_x, wpx_ref[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     x1 = xt.astype(jnp.float32) + o + bpx_ref[0].astype(jnp.float32)
     xo_ref[0] = _mlp_residual(x1.astype(dtype), w1_ref[:], b1_ref[0],
                               w2_ref[:], b2_ref[0], ln2s, ln2b,
-                              dtype).astype(dtype)
+                              dtype, ew=ew).astype(dtype)
 
     @pl.when(t == n_tiles - 1)
     def _():
-        attn_c = jnp.concatenate(
-            [acc_scr[:, h * head_dim:(h + 1) * head_dim]
-             / l_scr[:, h:h + 1] for h in range(num_heads)], axis=-1)
+        attn_c = acc_scr[:] / l_scr[:]
         oc = jax.lax.dot_general(
             attn_c.astype(dtype), wpc_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         c1 = c_ref[0].astype(jnp.float32) + oc + bpc_ref[0].astype(
             jnp.float32)
         co = _mlp_residual(c1.astype(dtype), w1_ref[:], b1_ref[0],
-                           w2_ref[:], b2_ref[0], ln2s, ln2b, dtype)
+                           w2_ref[:], b2_ref[0], ln2s, ln2b, dtype, ew=ew)
         co_ref[0] = co.astype(dtype)
 
 
@@ -348,19 +476,26 @@ def _dca_rows_kernel(x_ref, c_ref,
                      wqkv1_ref, bqkv1_ref, wqkv2_ref, bqkv2_ref,
                      wpx_ref, bpx_ref, wpc_ref, bpc_ref,
                      ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                     wcpe_ref, bcpe_ref, maskx_ref, maskc_ref,
                      xo_ref, co_ref, *,
                      scale_x: float, scale_c: float, num_heads: int,
-                     head_dim: int, rows: int, n: int, m: int):
+                     head_dim: int, rows: int, n: int, m: int,
+                     gx: int, gc: int, use_cpe: bool, img_w: int):
     """Single-tile (whole image per row) DCA block with batch-row folding:
     plain softmax (no online accumulation), flat matmuls over rows*N, and
-    per-(row, head) attention loops. fp32 elementwise (the bf16+folding
-    combination crashes Mosaic)."""
+    per-(row, head-group) attention loops. fp32 elementwise (the
+    bf16+folding combination crashes Mosaic)."""
     dtype = x_ref.dtype
     c_dim = x_ref.shape[-1]
     ln1s, ln1b = ln1s_ref[0], ln1b_ref[0]
     ln2s, ln2b = ln2s_ref[0], ln2b_ref[0]
 
     xflat = x_ref[:].reshape(rows * n, c_dim)
+    if use_cpe:
+        # per-image row masks inside _cpe_flat stop the 3x3 shifts from
+        # bleeding across the folded images
+        xflat = _cpe_flat(xflat, wcpe_ref[:], bcpe_ref[0],
+                          n // img_w, img_w)
     cflat = c_ref[:].reshape(rows * m, c_dim)
     xa = _ln(xflat, ln1s, ln1b).astype(dtype)
     ca = _ln(cflat, ln1s, ln1b).astype(dtype)
@@ -383,31 +518,14 @@ def _dca_rows_kernel(x_ref, c_ref,
     for r in range(rows):
         xs = slice(r * n, (r + 1) * n)
         cs = slice(r * m, (r + 1) * m)
-        x_outs, c_outs = [], []
-        for h in range(num_heads):
-            sl = slice(h * head_dim, (h + 1) * head_dim)
-            # x <- meta
-            s = jax.lax.dot_general(
-                q1[xs, sl], k2[cs, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale_x
-            s = s - jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp(s)
-            p = p / jnp.sum(p, axis=1, keepdims=True)
-            x_outs.append(jax.lax.dot_general(
-                p.astype(dtype), v2[cs, sl], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-            # meta <- x (plain softmax: the whole row is in VMEM)
-            s2 = jax.lax.dot_general(
-                q2[cs, sl], k1[xs, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale_c
-            s2 = s2 - jnp.max(s2, axis=1, keepdims=True)
-            p2 = jnp.exp(s2)
-            p2 = p2 / jnp.sum(p2, axis=1, keepdims=True)
-            c_outs.append(jax.lax.dot_general(
-                p2.astype(dtype), v1[xs, sl], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        x_rows.append(jnp.concatenate(x_outs, axis=-1))
-        c_rows.append(jnp.concatenate(c_outs, axis=-1))
+        # x <- meta and meta <- x: both are head-group-batched cross
+        # attentions (one pair of full-lane MXU dots per head group)
+        x_rows.append(_attn_rows(q1[xs], k2[cs], v2[cs], scale_x,
+                                 num_heads, head_dim, dtype,
+                                 mask=maskx_ref[:] if gx > 1 else None))
+        c_rows.append(_attn_rows(q2[cs], k1[xs], v1[xs], scale_c,
+                                 num_heads, head_dim, dtype,
+                                 mask=maskc_ref[:] if gc > 1 else None))
     ax = (jnp.concatenate(x_rows, axis=0) if rows > 1
           else x_rows[0]).astype(dtype)
     ac = (jnp.concatenate(c_rows, axis=0) if rows > 1
@@ -433,29 +551,47 @@ def _dca_pick_rows(b: int, n: int, ch: int, hidden: int) -> int:
     # ch=320 (s_block too) and at ch=192 with N>=784 in this kernel
     if ch in (192, 320):
         return 1
+    # budget kept conservative: rows=2 at (3136, 96) and rows=8 at
+    # (1568, 384) both crash the Mosaic compiler (v5e, bisected via
+    # PB_DCA_VMEM_MB/PB_S_VMEM_MB) — the fold size is compiler-limited,
+    # not VMEM-limited
     per_row = 2 * (2 * n * ch + 6 * n * ch + n * max(hidden, ch))
+    budget = int(os.environ.get("PB_DCA_VMEM_MB", "9")) * 1024 * 1024
     for r in (8, 4, 2):
-        if b % r == 0 and per_row * r < 9 * 1024 * 1024:
+        if b % r == 0 and per_row * r < budget:
             return r
     return 1
 
 
 @functools.partial(jax.jit,
                    static_argnames=("scale_x", "scale_c", "num_heads",
-                                    "rows"))
-def _dca_rows_call(x, c, params, scale_x, scale_c, num_heads, rows):
+                                    "rows", "img_w"))
+def _dca_rows_call(x, c, params, scale_x, scale_c, num_heads, rows,
+                   cpe=None, img_w=0):
     b, n, ch = x.shape
     m = c.shape[1]
     d = ch // num_heads
     row = lambda t: t.reshape(1, -1)
     (ln1s, ln1b, wqkv1, bqkv1, wqkv2, bqkv2, wpx, bpx, wpc, bpc,
      ln2s, ln2b, w1, b1, w2, b2) = params
+    if cpe is None:
+        wcpe = jnp.zeros((9, ch), x.dtype)
+        bcpe = jnp.zeros((1, ch), x.dtype)
+    else:
+        wcpe, bcpe = cpe[0], row(cpe[1])
+    g = _pick_group(num_heads, d)
+    gx = g
+    gc = g if (_GROUP_ONLINE and g * n <= _MAX_BD_ROWS) else 1
+    dummy = jnp.zeros((8, 128), x.dtype)
+    maskx = _bd_mask(m, gx, d, x.dtype) if gx > 1 else dummy
+    maskc = _bd_mask(n, gc, d, x.dtype) if gc > 1 else dummy
     weights = [row(ln1s), row(ln1b), wqkv1, row(bqkv1), wqkv2, row(bqkv2),
                wpx, row(bpx), wpc, row(bpc), row(ln2s), row(ln2b),
-               w1, row(b1), w2, row(b2)]
+               w1, row(b1), w2, row(b2), wcpe, bcpe, maskx, maskc]
     kernel = functools.partial(
         _dca_rows_kernel, scale_x=float(scale_x), scale_c=float(scale_c),
-        num_heads=num_heads, head_dim=d, rows=rows, n=n, m=m)
+        num_heads=num_heads, head_dim=d, rows=rows, n=n, m=m, gx=gx, gc=gc,
+        use_cpe=cpe is not None, img_w=img_w or 1)
     x_spec = pl.BlockSpec((rows, n, ch), lambda bi: (bi, 0, 0),
                           memory_space=pltpu.VMEM)
     c_spec = pl.BlockSpec((rows, m, ch), lambda bi: (bi, 0, 0),
@@ -508,13 +644,19 @@ def _dca_block_call(x, c, params, scale_x, scale_c, num_heads, cpe=None,
         bcpe = jnp.zeros((1, ch), x.dtype)
     else:
         wcpe, bcpe = cpe[0], row(cpe[1])
+    g = _pick_group(num_heads, d)
+    gx = g                                     # x-dir: S = m (small)
+    gc = g if (_GROUP_ONLINE and g * tile_n <= _MAX_BD_ROWS) else 1
+    dummy = jnp.zeros((8, 128), x.dtype)
+    maskx = _bd_mask(m, gx, d, x.dtype) if gx > 1 else dummy
+    maskc = _bd_mask(tile_n, gc, d, x.dtype) if gc > 1 else dummy
     weights = [row(ln1s), row(ln1b), wqkv1, row(bqkv1), wqkv2, row(bqkv2),
                wpx, row(bpx), wpc, row(bpc), row(ln2s), row(ln2b),
-               w1, row(b1), w2, row(b2), wcpe, bcpe]
+               w1, row(b1), w2, row(b2), wcpe, bcpe, maskx, maskc]
     kernel = functools.partial(
         _dca_block_kernel, scale_x=float(scale_x), scale_c=float(scale_c),
         n_tiles=n_tiles, num_heads=num_heads, head_dim=d,
-        use_cpe=cpe is not None, img_w=img_w or 1)
+        use_cpe=cpe is not None, img_w=img_w or 1, gx=gx, gc=gc)
     x_spec = pl.BlockSpec((1, tile_n, ch), lambda bi, ti: (bi, ti, 0),
                           memory_space=pltpu.VMEM)
     c_spec = pl.BlockSpec((1, m, ch), lambda bi, ti: (bi, 0, 0),
@@ -533,9 +675,9 @@ def _dca_block_call(x, c, params, scale_x, scale_c, num_heads, cpe=None,
             pltpu.VMEM((m, ch), x.dtype),     # q2
             pltpu.VMEM((m, ch), x.dtype),     # k2
             pltpu.VMEM((m, ch), x.dtype),     # v2
-            pltpu.VMEM((m, num_heads), jnp.float32),
-            pltpu.VMEM((m, num_heads), jnp.float32),
-            pltpu.VMEM((m, ch), jnp.float32),
+            pltpu.VMEM((m, num_heads), jnp.float32),  # running max
+            pltpu.VMEM((m, ch), jnp.float32),         # l (lane-replicated)
+            pltpu.VMEM((m, ch), jnp.float32),         # acc
         ],
         interpret=_INTERPRET,
     )(x, c, *weights)
@@ -556,11 +698,12 @@ def dca_block(x, c, params, *, num_heads: int, scale_x: float,
         return None
     if cpe is not None and tile != n:
         return None  # fused CPE needs the full image per tile
-    if cpe is None and tile == n:
+    if tile == n:
         rows = _dca_pick_rows(b, n, ch, params[12].shape[1])
         if rows > 1:
             return tuple(_dca_rows_call(x, c, tuple(params), scale_x,
-                                        scale_c, num_heads, rows))
+                                        scale_c, num_heads, rows,
+                                        cpe=cpe, img_w=img_w))
     return tuple(_dca_block_call(x, c, tuple(params), scale_x, scale_c,
                                  num_heads, cpe=cpe, img_w=img_w))
 
@@ -569,21 +712,22 @@ def _c_block_kernel(x_ref, c_ref,
                     ln1s_ref, ln1b_ref, wq_ref, bq_ref, wkv_ref, bkv_ref,
                     wp_ref, bp_ref, ln2s_ref, ln2b_ref,
                     w1_ref, b1_ref, w2_ref, b2_ref,
-                    wcpe_ref, bcpe_ref,
+                    wcpe_ref, bcpe_ref, maskc_ref,
                     co_ref,
                     q_scr, m_scr, l_scr, acc_scr,
                     *, scale: float, n_tiles: int, num_heads: int,
-                    head_dim: int, use_cpe: bool, img_w: int):
+                    head_dim: int, use_cpe: bool, img_w: int, gc: int):
     """Meta-token init ("C") block: only c is produced; x streams once and
     is never written (ref lemevit.py:584-613)."""
     t = pl.program_id(1)
     dtype = x_ref.dtype
+    ew = dtype if _EW else jnp.float32
     c_dim = x_ref.shape[-1]
     ln1s, ln1b = ln1s_ref[0], ln1b_ref[0]
 
     @pl.when(t == 0)
     def _():
-        ca = _ln(c_ref[0], ln1s, ln1b).astype(dtype)
+        ca = _ln(c_ref[0], ln1s, ln1b, ew=ew).astype(dtype)
         q = jax.lax.dot_general(ca, wq_ref[:], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         q_scr[:] = (q + bq_ref[0].astype(jnp.float32)).astype(dtype)
@@ -595,35 +739,22 @@ def _c_block_kernel(x_ref, c_ref,
     if use_cpe:
         xt = _cpe_flat(xt, wcpe_ref[:], bcpe_ref[0],
                        xt.shape[0] // img_w, img_w)
-    xa = _ln(xt, ln1s, ln1b).astype(dtype)
+    xa = _ln(xt, ln1s, ln1b, ew=ew).astype(dtype)
     kv = jax.lax.dot_general(xa, wkv_ref[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     kv = (kv + bkv_ref[0].astype(jnp.float32)).astype(dtype)
     k = kv[:, :c_dim]
     v = kv[:, c_dim:]
 
-    for h in range(num_heads):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        s = jax.lax.dot_general(
-            q_scr[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        hs = slice(h, h + 1)
-        m_prev = m_scr[:, hs]
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_cur)
-        p = jnp.exp(s - m_cur)
-        l_scr[:, hs] = l_scr[:, hs] * alpha + jnp.sum(p, axis=1,
-                                                      keepdims=True)
-        acc_scr[:, sl] = acc_scr[:, sl] * alpha + jax.lax.dot_general(
-            p.astype(dtype), v[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_scr[:, hs] = m_cur
+    # online softmax over the N tiles (head-group-batched joint softmax:
+    # measured win for this kernel's thin 16-row query on v5e)
+    _online_attn(q_scr[:], k, v, scale, num_heads, head_dim,
+                 m_scr, l_scr, acc_scr, dtype,
+                 mask=maskc_ref[:] if gc > 1 else None)
 
     @pl.when(t == n_tiles - 1)
     def _():
-        attn_c = jnp.concatenate(
-            [acc_scr[:, h * head_dim:(h + 1) * head_dim]
-             / l_scr[:, h:h + 1] for h in range(num_heads)], axis=-1)
+        attn_c = acc_scr[:] / l_scr[:]
         oc = jax.lax.dot_general(
             attn_c.astype(dtype), wp_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -631,7 +762,7 @@ def _c_block_kernel(x_ref, c_ref,
             jnp.float32)
         co = _mlp_residual(c1.astype(dtype), w1_ref[:], b1_ref[0],
                            w2_ref[:], b2_ref[0], ln2s_ref[0], ln2b_ref[0],
-                           dtype)
+                           dtype, ew=ew)
         co_ref[0] = co.astype(dtype)
 
 
@@ -651,13 +782,17 @@ def _c_block_call(x, c, params, scale, num_heads, cpe=None, img_w=0):
         bcpe = jnp.zeros((1, ch), x.dtype)
     else:
         wcpe, bcpe = cpe[0], row(cpe[1])
+    g = _pick_group(num_heads, d)
+    gc = g if (_GROUP_ONLINE and g * tile_n <= _MAX_BD_ROWS) else 1
+    maskc = (_bd_mask(tile_n, gc, d, x.dtype) if gc > 1
+             else jnp.zeros((8, 128), x.dtype))
     weights = [row(ln1s), row(ln1b), wq, row(bq), wkv, row(bkv),
                wp, row(bp), row(ln2s), row(ln2b), w1, row(b1), w2, row(b2),
-               wcpe, bcpe]
+               wcpe, bcpe, maskc]
     kernel = functools.partial(_c_block_kernel, scale=float(scale),
                                n_tiles=n_tiles, num_heads=num_heads,
                                head_dim=d, use_cpe=cpe is not None,
-                               img_w=img_w or 1)
+                               img_w=img_w or 1, gc=gc)
     x_spec = pl.BlockSpec((1, tile_n, ch), lambda bi, ti: (bi, ti, 0),
                           memory_space=pltpu.VMEM)
     c_spec = pl.BlockSpec((1, m, ch), lambda bi, ti: (bi, 0, 0),
@@ -672,10 +807,10 @@ def _c_block_call(x, c, params, scale, num_heads, cpe=None, img_w=0):
         out_specs=[c_spec],
         out_shape=[jax.ShapeDtypeStruct(c.shape, c.dtype)],
         scratch_shapes=[
-            pltpu.VMEM((m, ch), x.dtype),
-            pltpu.VMEM((m, num_heads), jnp.float32),
-            pltpu.VMEM((m, num_heads), jnp.float32),
-            pltpu.VMEM((m, ch), jnp.float32),
+            pltpu.VMEM((m, ch), x.dtype),             # q
+            pltpu.VMEM((m, num_heads), jnp.float32),  # running max
+            pltpu.VMEM((m, ch), jnp.float32),         # l (lane-replicated)
+            pltpu.VMEM((m, ch), jnp.float32),         # acc
         ],
         interpret=_INTERPRET,
     )(x, c, *weights)[0]

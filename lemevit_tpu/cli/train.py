@@ -47,6 +47,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=128,
                    help="per-process batch size")
     p.add_argument("--grad-accum-steps", type=int, default=1)
+    p.add_argument("--opt", default="adamw",
+                   choices=["adamw", "adam", "sgd", "momentum", "nesterov",
+                            "rmsprop", "rmsproptf", "lamb", "adagrad"])
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--sched", default="cosine",
+                   choices=["cosine", "step", "multistep", "poly",
+                            "constant"])
+    p.add_argument("--decay-epochs", type=float, default=90)
+    p.add_argument("--decay-rate", type=float, default=0.1)
+    p.add_argument("--decay-milestones", type=float, nargs="*", default=[])
+    p.add_argument("--sched-power", type=float, default=1.0)
     p.add_argument("--lr-base", type=float, default=5e-4)
     p.add_argument("--lr-base-size", type=int, default=512)
     p.add_argument("--lr-base-scale", default="linear",
@@ -64,6 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reprob", type=float, default=0.25)
     p.add_argument("--aa", default="rand-m9-mstd0.5-inc1")
     p.add_argument("--hflip", type=float, default=0.5)
+    # AugMix / JSD recipe (reference main.py:369-393,451-471):
+    # --aug-splits 3 --jsd-loss --aa augmix-m3-w3
+    p.add_argument("--aug-splits", type=int, default=0,
+                   help=">1 enables aug splits: split 0 clean, the rest "
+                        "augmented, with per-split BN statistics")
+    p.add_argument("--jsd-loss", action="store_true",
+                   help="JSD consistency loss across aug splits")
+    p.add_argument("--jsd-alpha", type=float, default=12.0)
     p.add_argument("--model-ema", action="store_true", default=True)
     p.add_argument("--model-ema-decay", type=float, default=0.996)
     # infra
@@ -72,6 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", default="./output")
     p.add_argument("--experiment", default="")
     p.add_argument("--checkpoint-hist", type=int, default=3)
+    p.add_argument("--recovery-interval", type=int, default=0,
+                   help="save a rolling mid-epoch recovery checkpoint "
+                        "every N steps (0 = off)")
     p.add_argument("--resume", default="")
     p.add_argument("--no-auto-resume", action="store_true")
     p.add_argument("--log-interval", type=int, default=50)
@@ -90,6 +112,21 @@ def main(argv=None):
     return train(args, args_text)
 
 
+class _SplitViews:
+    """Synthetic-path stand-in for build_augsplit_transform: replicates each
+    sample into (S, H, W, 3) views so the JSD/split-BN path smoke-runs."""
+
+    def __init__(self, ds, num_splits):
+        self.ds, self.num_splits = ds, num_splits
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, i):
+        img, label = self.ds[i]
+        return np.stack([img] * self.num_splits), label
+
+
 def train(args, args_text: str = ""):
     import jax
     import jax.numpy as jnp
@@ -104,7 +141,7 @@ def train(args, args_text: str = ""):
                                    create_train_state, make_train_step)
     from lemevit_tpu.train.checkpoint import (auto_resume, load_pretrained,
                                               restore_checkpoint,
-                                              save_checkpoint)
+                                              save_checkpoint, save_recovery)
     from lemevit_tpu.train.steps import cross_entropy_loss, eval_metrics
     from lemevit_tpu.utils.logging import setup_logging
     from lemevit_tpu.utils.meters import MetricTracker
@@ -126,6 +163,12 @@ def train(args, args_text: str = ""):
                 n_dev, dict(mesh.shape), global_batch)
 
     # ---------------- data
+    aug_splits = args.aug_splits if args.aug_splits > 1 else 0
+    if aug_splits:
+        if args.mixup > 0 or args.cutmix > 0:
+            logger.info("aug-splits: disabling mixup/cutmix (JSD path "
+                        "takes hard targets, as in the reference)")
+            args.mixup = args.cutmix = 0.0
     if args.synthetic:
         train_ds = create_dataset("synthetic", num_samples=global_batch * 8,
                                   image_size=args.img_size,
@@ -133,11 +176,20 @@ def train(args, args_text: str = ""):
         val_ds = create_dataset("synthetic", num_samples=global_batch * 2,
                                 image_size=args.img_size,
                                 num_classes=args.num_classes)
+        if aug_splits:
+            train_ds = _SplitViews(train_ds, aug_splits)
     else:
+        if aug_splits:
+            from lemevit_tpu.data.transforms import build_augsplit_transform
+            train_tf = build_augsplit_transform(
+                args.img_size, hflip=args.hflip, auto_augment=args.aa,
+                num_splits=aug_splits)
+        else:
+            train_tf = build_train_transform(
+                args.img_size, hflip=args.hflip, auto_augment=args.aa)
         train_ds = create_dataset(
             args.dataset, args.data_dir, split=args.train_split,
-            transform=build_train_transform(
-                args.img_size, hflip=args.hflip, auto_augment=args.aa))
+            transform=train_tf)
         val_ds = create_dataset(
             args.dataset, args.data_dir, split=args.val_split,
             transform=build_eval_transform(args.img_size, args.crop_pct))
@@ -162,10 +214,15 @@ def train(args, args_text: str = ""):
         base_lr=args.lr_base, global_batch_size=global_batch,
         steps_per_epoch=steps_per_epoch, epochs=args.epochs,
         warmup_epochs=args.warmup_epochs, warmup_lr=args.warmup_lr,
-        min_lr=args.min_lr, scaling=args.lr_base_scale)
+        min_lr=args.min_lr, scaling=args.lr_base_scale,
+        sched=args.sched, decay_epochs=args.decay_epochs,
+        decay_rate=args.decay_rate,
+        decay_milestones=tuple(args.decay_milestones),
+        power=args.sched_power)
     tx = build_optimizer(sched, weight_decay=args.weight_decay,
                          clip_grad=args.clip_grad,
-                         grad_accum_steps=args.grad_accum_steps)
+                         grad_accum_steps=args.grad_accum_steps,
+                         opt=args.opt, momentum=args.momentum)
 
     with mesh:
         state = create_train_state(
@@ -204,12 +261,40 @@ def train(args, args_text: str = ""):
             state = state.replace(params=shard_params(state.params, mesh))
 
         batch_sharding = NamedSharding(mesh, P("data"))
-        base_train_step = make_train_step(label_smoothing=0.0)  # folded below
+        if aug_splits:
+            from lemevit_tpu.train.steps import (make_jsd_train_step,
+                                                 stack_batch_stats,
+                                                 unstack_batch_stats)
+            # per-split BN statistics: leading (S,) axis on batch_stats
+            # (BN mean/var leaves are (C,); already-stacked = resumed)
+            leaves = jax.tree.leaves(state.batch_stats)
+            if leaves and leaves[0].ndim == 1:
+                state = state.replace(batch_stats=stack_batch_stats(
+                    state.batch_stats, aug_splits))
+            base_train_step = make_jsd_train_step(aug_splits,
+                                                  jsd_alpha=args.jsd_alpha)
+        else:
+            base_train_step = make_train_step(label_smoothing=0.0)
 
         def full_train_step(state, batch, rng):
             aug_rng, step_rng = jax.random.split(
                 jax.random.fold_in(rng, state.step))
             images = normalize(batch["image"])
+            if aug_splits:
+                # (B, S, H, W, C) u8 -> (S, B, H, W, C); erasing per view
+                images = jnp.swapaxes(images, 0, 1)
+                if args.reprob > 0:
+                    s, b = images.shape[:2]
+                    flat = images.reshape((s * b,) + images.shape[2:])
+                    flat = random_erasing(jax.random.fold_in(aug_rng, 1),
+                                          flat, prob=args.reprob)
+                    images = flat.reshape(images.shape)
+                targets = jax.nn.one_hot(batch["label"], args.num_classes)
+                if args.smoothing:
+                    targets = (targets * (1 - args.smoothing)
+                               + args.smoothing / args.num_classes)
+                return base_train_step(
+                    state, {"image": images, "label": targets}, step_rng)
             if args.reprob > 0:
                 images = random_erasing(
                     jax.random.fold_in(aug_rng, 1), images, prob=args.reprob)
@@ -228,9 +313,17 @@ def train(args, args_text: str = ""):
 
         train_step = jax.jit(full_train_step, donate_argnums=(0,))
 
+        def _eval_vars(variables):
+            if aug_splits:  # eval on the clean split's BN statistics
+                return {"params": variables["params"],
+                        "batch_stats": unstack_batch_stats(
+                            variables.get("batch_stats", {}))}
+            return variables
+
         @jax.jit
         def val_step(variables, images_u8, labels):
-            logits = model.apply(variables, normalize(images_u8), train=False)
+            logits = model.apply(_eval_vars(variables), normalize(images_u8),
+                                 train=False)
             return eval_metrics(logits, labels)
 
         from lemevit_tpu.utils.events import EventWriter
@@ -239,12 +332,15 @@ def train(args, args_text: str = ""):
         summary_path = os.path.join(out_dir, "summary.csv")
         best_top1 = -1.0
         start_epoch = int(state.step) // steps_per_epoch
+        # mid-epoch (recovery) resume: skip the steps this epoch already ran
+        resume_skip = int(state.step) % steps_per_epoch
         for epoch in range(start_epoch, args.epochs):
             train_loader.set_epoch(epoch)
             tracker = MetricTracker()
             t_ep = time.perf_counter()
             it = iter(train_loader)
-            for step_i in range(steps_per_epoch):
+            first_step = resume_skip if epoch == start_epoch else 0
+            for step_i in range(first_step, steps_per_epoch):
                 try:
                     batch = next(it)
                 except StopIteration:
@@ -262,6 +358,10 @@ def train(args, args_text: str = ""):
                         k: jax.device_put(v, batch_sharding)
                         for k, v in batch.items()}
                 state, metrics = train_step(state, batch, rng)
+                if (args.recovery_interval
+                        and (step_i + 1) % args.recovery_interval == 0
+                        and jax.process_index() == 0):
+                    save_recovery(ckpt_dir, state)
                 if step_i % args.log_interval == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     m["lr"] = float(sched(int(state.step)))

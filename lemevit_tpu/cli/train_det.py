@@ -37,6 +37,15 @@ def build_parser():
     p.add_argument("--format-only", action="store_true",
                    help="dump DOTA submission instead of computing mAP")
     p.add_argument("--bf16", action="store_true", default=None)
+    # original-size images: tile on the fly (img_split equivalent) and
+    # merge per-tile detections back to original coordinates at eval
+    p.add_argument("--tile", action="store_true",
+                   help="data-dir holds ORIGINAL-size DOTA; tile on the "
+                        "fly and merge detections across tiles")
+    p.add_argument("--tile-size", type=int, default=1024)
+    p.add_argument("--tile-gap", type=int, default=200)
+    p.add_argument("--tile-iof", type=float, default=0.7)
+    p.add_argument("--merge-iou", type=float, default=0.1)
     return p
 
 
@@ -72,6 +81,15 @@ def main(argv=None):
                                       args.num_classes)
         val_ds = SyntheticDetection(2 * args.batch_size, args.img_size,
                                     args.num_classes)
+    elif args.tile:
+        from lemevit_tpu.data.dota_split import TiledDOTADataset
+        train_ds = TiledDOTADataset(args.data_dir, "train",
+                                    size=args.tile_size, gap=args.tile_gap,
+                                    iof_thr=args.tile_iof)
+        val_ds = TiledDOTADataset(args.data_dir, "val",
+                                  size=args.tile_size, gap=args.tile_gap,
+                                  iof_thr=args.tile_iof, keep_empty=True)
+        args.img_size = args.tile_size
     else:
         train_ds = DOTADataset(args.data_dir, "train")
         val_ds = DOTADataset(args.data_dir, "val")
@@ -129,15 +147,32 @@ def main(argv=None):
 
     def evaluate(state):
         dets, gts = {}, {}
+        tile_entries = []
         for i in range(len(val_ds)):
             img, obbs, labels = val_ds[i]
             out = predict(state, jnp.asarray(img)[None])
             keep = np.asarray(out["keep"])[0]
-            dets[str(i)] = {
-                "boxes": np.asarray(out["boxes"])[0][keep],
-                "scores": np.asarray(out["scores"])[0][keep],
-                "labels": np.asarray(out["labels"])[0][keep]}
-            gts[str(i)] = {"boxes": obbs, "labels": labels}
+            det = {"boxes": np.asarray(out["boxes"])[0][keep],
+                   "scores": np.asarray(out["scores"])[0][keep],
+                   "labels": np.asarray(out["labels"])[0][keep]}
+            if args.tile:
+                tile_entries.append((val_ds.names[i], det["boxes"],
+                                     det["scores"], det["labels"]))
+            else:
+                dets[str(i)] = det
+                gts[str(i)] = {"boxes": obbs, "labels": labels}
+        if args.tile:
+            # shift to original coords + cross-tile rotated NMS, then
+            # score against original-image GT
+            from lemevit_tpu.data.dota_split import merge_tile_detections
+            dets = merge_tile_detections(tile_entries,
+                                         iou_thr=args.merge_iou)
+            gts = val_ds.original_gts()
+            for stem in gts:
+                dets.setdefault(stem, {
+                    "boxes": np.zeros((0, 5), np.float32),
+                    "scores": np.zeros((0,), np.float32),
+                    "labels": np.zeros((0,), np.int32)})
         if args.format_only:
             write_dota_submission(os.path.join(args.output, "submission"),
                                   dets)

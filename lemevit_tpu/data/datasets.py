@@ -267,6 +267,22 @@ def create_dataset(name: str, root: str = "", split: str = "train",
     """Factory covering the reference's dataset names
     (/root/reference/data/dataset_factory.py:112-229)."""
     name = name.lower()
+    # prefixed hub/shard branches (reference dataset_factory.py:161-215)
+    if name.startswith("hfds/"):
+        from lemevit_tpu.data.iterable import HFDataset
+        return HFDataset(name[5:], split=split, transform=transform,
+                         **kwargs)
+    if name.startswith("tfds/"):
+        from lemevit_tpu.data.iterable import TFDSDataset
+        return TFDSDataset(name[5:], split=split,
+                           data_dir=root or None, transform=transform,
+                           **kwargs)
+    if name.startswith("wds/") or name == "wds":
+        from lemevit_tpu.data.iterable import WebDatasetFolder
+        shards = kwargs.pop("shards", None)
+        if shards is None:
+            shards = os.path.join(root, split) if root else name[4:]
+        return WebDatasetFolder(shards, transform=transform, **kwargs)
     table = {
         "millionaid": MillionAIDDataset,
         "torch/millionaid": MillionAIDDataset,

@@ -129,6 +129,69 @@ RA_OPS = [
     _shear("x"), _shear("y"), _translate("x"), _translate("y"),
 ]
 
+# AugMix op set (Hendrycks et al.): geometric + histogram ops only — no
+# color/contrast/brightness/sharpness, which overlap ImageNet-C corruptions
+AUGMIX_OPS = [
+    _autocontrast, _equalize, _rotate, _posterize, _solarize,
+    _shear("x"), _shear("y"), _translate("x"), _translate("y"),
+]
+
+
+class AugMix:
+    """AugMix: mix `width` random op chains with Dirichlet weights, then
+    blend with the source image by a Beta-sampled factor (timm aa string
+    'augmix-m{M}-w{W}-d{D}', reference main.py --aa + --aug-splits path)."""
+
+    def __init__(self, magnitude: float = 3.0, width: int = 3,
+                 depth: int = -1, alpha: float = 1.0):
+        self.magnitude = magnitude
+        self.width = width
+        self.depth = depth
+        self.alpha = alpha
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        ws = np.random.dirichlet([self.alpha] * self.width)
+        m = float(np.random.beta(self.alpha, self.alpha))
+        base = np.asarray(img, np.float32)
+        mixed = np.zeros_like(base)
+        for i in range(self.width):
+            depth = self.depth if self.depth > 0 else random.randint(1, 3)
+            aug = img
+            for op in random.choices(AUGMIX_OPS, k=depth):
+                aug = op(aug, self.magnitude)
+            mixed += ws[i] * np.asarray(aug, np.float32)
+        out = (1 - m) * base + m * mixed
+        return Image.fromarray(np.clip(out, 0, 255).astype(np.uint8))
+
+
+def build_aug_policy(auto_augment: Optional[str]):
+    """Parse a timm-style aa string into a PIL->PIL augmentation callable:
+    'rand-m9-mstd0.5-inc1' -> RandAugment, 'augmix-m3-w3[-dD]' -> AugMix,
+    None/'' -> None."""
+    if not auto_augment:
+        return None
+    if auto_augment.startswith("augmix"):
+        mag, width, depth = 3.0, 3, -1
+        for tok in auto_augment.split("-")[1:]:
+            if tok.startswith("m"):
+                mag = float(tok[1:])
+            elif tok.startswith("w"):
+                width = int(tok[1:])
+            elif tok.startswith("d"):
+                depth = int(tok[1:])
+        return AugMix(magnitude=mag, width=width, depth=depth)
+    if auto_augment.startswith("rand"):
+        mag, mag_std, num_ops = 9.0, 0.5, 2
+        for tok in auto_augment.split("-")[1:]:
+            if tok.startswith("mstd"):
+                mag_std = float(tok[4:])
+            elif tok.startswith("m"):
+                mag = float(tok[1:])
+            elif tok.startswith("n"):
+                num_ops = int(tok[1:])
+        return RandAugment(num_ops=num_ops, magnitude=mag, mag_std=mag_std)
+    raise ValueError(f"unknown auto_augment policy {auto_augment!r}")
+
 
 class RandAugment:
     """rand-m{M}-mstd{S}-inc1 policy: N random ops at gaussian-jittered
@@ -155,17 +218,7 @@ class RandAugment:
 def build_train_transform(img_size: int = 224, hflip: float = 0.5,
                           auto_augment: Optional[str] = "rand-m9-mstd0.5-inc1",
                           scale=(0.08, 1.0)) -> Callable:
-    ra = None
-    if auto_augment and auto_augment.startswith("rand"):
-        mag, mag_std, num_ops = 9.0, 0.5, 2
-        for tok in auto_augment.split("-")[1:]:
-            if tok.startswith("mstd"):
-                mag_std = float(tok[4:])
-            elif tok.startswith("m"):
-                mag = float(tok[1:])
-            elif tok.startswith("n"):
-                num_ops = int(tok[1:])
-        ra = RandAugment(num_ops=num_ops, magnitude=mag, mag_std=mag_std)
+    ra = build_aug_policy(auto_augment)
 
     def transform(img: Image.Image) -> np.ndarray:
         img = random_resized_crop(img, img_size, scale=scale)
@@ -174,6 +227,28 @@ def build_train_transform(img_size: int = 224, hflip: float = 0.5,
         if ra is not None:
             img = ra(img)
         return np.asarray(img, dtype=np.uint8)
+
+    return transform
+
+
+def build_augsplit_transform(img_size: int = 224, hflip: float = 0.5,
+                             auto_augment: str = "augmix-m3-w3",
+                             num_splits: int = 3,
+                             scale=(0.08, 1.0)) -> Callable:
+    """timm AugMixDataset semantics (reference main.py:369-393): one base
+    crop/flip per sample, then num_splits versions — split 0 CLEAN, splits
+    1.. augmented — stacked to (S, H, W, 3) u8. Pairs with the JSD loss and
+    per-split BatchNorm statistics."""
+    aug = build_aug_policy(auto_augment)
+
+    def transform(img: Image.Image) -> np.ndarray:
+        img = random_resized_crop(img, img_size, scale=scale)
+        if hflip > 0 and random.random() < hflip:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        views = [np.asarray(img, np.uint8)]
+        for _ in range(num_splits - 1):
+            views.append(np.asarray(aug(img) if aug else img, np.uint8))
+        return np.stack(views)
 
     return transform
 

@@ -177,6 +177,42 @@ def multilevel_roi_align_rotated(pyramid, rois: jax.Array,
     return out
 
 
+def select_proposals(cls_scores: Sequence[jax.Array],
+                     bbox_preds: Sequence[jax.Array],
+                     anchors: Sequence[jax.Array],
+                     num_proposals: int,
+                     nms_pre: int = 512,
+                     nms_thr: Optional[float] = 0.8) -> jax.Array:
+    """RPN proposal selection with static shapes: per-level nms_pre top-k
+    -> decode -> padded rotated NMS within each level -> global top-K.
+
+    Matches OBBDetection's RPN contract (nms_across_levels=False,
+    nms_pre/nms_thr/max_num; reference config
+    faster_rcnn_orpn_lemevit_small_rsp_fpn_1x_dota10.py train/test_cfg rpn).
+    Suppressed rows keep their slot with score -inf so every shape is
+    static. nms_thr=None skips NMS (raw top-k). Returns (B, K, 5) rotated
+    proposals."""
+    b = cls_scores[0].shape[0]
+    lvl_scores, lvl_boxes = [], []
+    for s_lvl, p_lvl, a_lvl in zip(cls_scores, bbox_preds, anchors):
+        sc = s_lvl.reshape(b, -1)
+        dl = p_lvl.reshape(b, -1, 6)
+        kl = min(nms_pre, sc.shape[1])
+        topv, topi = jax.lax.top_k(sc, kl)
+        dec = jax.vmap(lambda d, i, a=a_lvl: decode_midpoint_offset(
+            a[i], d[i]))(dl, topi)
+        if nms_thr is not None:
+            keep = jax.vmap(lambda bx, v, t=nms_thr: obb_nms(bx, v, t))(
+                dec, topv)
+            topv = jnp.where(keep, topv, -jnp.inf)
+        lvl_scores.append(topv)
+        lvl_boxes.append(dec)
+    cat_scores = jnp.concatenate(lvl_scores, axis=1)
+    cat_boxes = jnp.concatenate(lvl_boxes, axis=1)
+    _, sel = jax.lax.top_k(cat_scores, num_proposals)
+    return jnp.take_along_axis(cat_boxes, sel[..., None], axis=1)
+
+
 class OBBRoIHead(nn.Module):
     """Rotated ROI head: multi-level roi_align_rotated -> 2 FC ->
     cls + obb regression."""
@@ -215,6 +251,15 @@ class OrientedRCNN(nn.Module):
     strides: Sequence[int] = (4, 8, 16, 32, 64)
     score_thr: float = 0.05
     nms_iou: float = 0.1
+    # RPN proposal selection (OBBDetection rpn train/test_cfg contract:
+    # per-level nms_pre top-k -> decode -> rotated NMS within each level
+    # (nms_across_levels=False) -> global max_num; reference config
+    # faster_rcnn_orpn_lemevit_small_rsp_fpn_1x_dota10.py train/test_cfg
+    # rpn nms_pre=2000, nms_thr=0.8). nms_pre is scaled down by default to
+    # keep the padded rotated-IoU matrices TPU-friendly.
+    rpn_nms_pre: int = 512
+    rpn_nms_thr: float = 0.8
+    rpn_nms: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -236,12 +281,11 @@ class OrientedRCNN(nn.Module):
             [p.reshape(b, -1, 6) for p in bbox_preds], axis=1)
         all_anchors = jnp.concatenate(anchors, axis=0)
 
-        # top-k proposals per image (static k)
         k = self.num_proposals
-        topv, topi = jax.lax.top_k(all_scores, k)
-        proposals = jax.vmap(
-            lambda deltas, idx: decode_midpoint_offset(
-                all_anchors[idx], deltas[idx]))(all_deltas, topi)
+        proposals = select_proposals(
+            cls_scores, bbox_preds, anchors, k,
+            nms_pre=self.rpn_nms_pre,
+            nms_thr=self.rpn_nms_thr if self.rpn_nms else None)
 
         rois = jnp.concatenate([
             jnp.repeat(jnp.arange(b, dtype=jnp.float32)[:, None, None], k,

@@ -42,6 +42,77 @@ def average_precision(recall: np.ndarray, precision: np.ndarray,
     return float(((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]).sum())
 
 
+def _mask_iou_matrix(det_masks: np.ndarray, gt_masks: np.ndarray
+                     ) -> np.ndarray:
+    """(Nd,H,W) x (Ng,H,W) bool -> (Nd,Ng) mask IoU."""
+    d = det_masks.reshape(len(det_masks), -1).astype(np.float32)
+    g = gt_masks.reshape(len(gt_masks), -1).astype(np.float32)
+    inter = d @ g.T
+    union = d.sum(1)[:, None] + g.sum(1)[None] - inter
+    return inter / np.maximum(union, 1e-9)
+
+
+def evaluate_mask_map(detections: Dict[str, Dict[str, np.ndarray]],
+                      ground_truths: Dict[str, Dict[str, np.ndarray]],
+                      num_classes: int,
+                      iou_thrs: Sequence[float] = tuple(
+                          np.arange(0.5, 1.0, 0.05)),
+                      mode: str = "area") -> Dict[str, float]:
+    """Instance-segmentation mAP@[.5:.95] (COCO protocol) over binary
+    masks. detections: {img: {'masks' (K,H,W) bool, 'scores', 'labels'}};
+    ground_truths: {img: {'masks', 'labels'}}. Returns
+    {'mask_mAP', 'mask_AP50', 'mask_AP75'}."""
+    per_thr = []
+    for thr in iou_thrs:
+        aps = {}
+        for cls in range(num_classes):
+            records: List = []
+            n_gt = 0
+            for img_id, gt in ground_truths.items():
+                gsel = np.asarray(gt["labels"]) == cls
+                g_masks = np.asarray(gt["masks"], bool)[gsel]
+                n_gt += len(g_masks)
+                det = detections.get(img_id)
+                if det is None:
+                    continue
+                dsel = np.asarray(det["labels"]) == cls
+                d_masks = np.asarray(det["masks"], bool)[dsel]
+                d_scores = np.asarray(det["scores"], np.float32)[dsel]
+                order = np.argsort(-d_scores)
+                d_masks, d_scores = d_masks[order], d_scores[order]
+                matched = np.zeros(len(g_masks), bool)
+                if len(g_masks) and len(d_masks):
+                    iou = _mask_iou_matrix(d_masks, g_masks)
+                for i in range(len(d_masks)):
+                    tp = False
+                    if len(g_masks):
+                        j = int(iou[i].argmax())
+                        if iou[i, j] >= thr and not matched[j]:
+                            matched[j] = True
+                            tp = True
+                    records.append((float(d_scores[i]), tp))
+            if n_gt == 0:
+                continue
+            records.sort(key=lambda r: -r[0])
+            tps = np.array([r[1] for r in records], np.float64)
+            if len(tps) == 0:
+                aps[cls] = 0.0
+                continue
+            tp_cum = np.cumsum(tps)
+            fp_cum = np.cumsum(1.0 - tps)
+            aps[cls] = average_precision(
+                tp_cum / n_gt, tp_cum / np.maximum(tp_cum + fp_cum, 1e-9),
+                mode)
+        per_thr.append(float(np.mean(list(aps.values()))) if aps else 0.0)
+    out = {"mask_mAP": float(np.mean(per_thr)) if per_thr else 0.0}
+    thrs = [round(float(t), 2) for t in iou_thrs]
+    if 0.5 in thrs:
+        out["mask_AP50"] = per_thr[thrs.index(0.5)]
+    if 0.75 in thrs:
+        out["mask_AP75"] = per_thr[thrs.index(0.75)]
+    return out
+
+
 def evaluate_map(detections: Dict[str, Dict[str, np.ndarray]],
                  ground_truths: Dict[str, Dict[str, np.ndarray]],
                  num_classes: int, iou_thr: float = 0.5,

@@ -70,6 +70,38 @@ def save_checkpoint(ckpt_dir: str, state, *, metric: Optional[float] = None,
     return path
 
 
+def save_recovery(ckpt_dir: str, state) -> str:
+    """Mid-epoch recovery checkpoint: ONE rolling slot, overwritten each
+    save (reference engine.py:160-162 --recovery-interval semantics) —
+    cheap enough to write every N steps without growing the directory."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    step = int(state.step)
+    path = os.path.join(ckpt_dir, "recovery")
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    if state.ema_params is not None:
+        payload["ema_params"] = state.ema_params
+    if HAS_ORBAX:
+        tmp = path + ".tmp"
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(tmp), payload, force=True)
+        ckptr.wait_until_finished()
+        if os.path.exists(path):
+            shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
+    else:  # pragma: no cover - orbax is baked into the image
+        flat = jax.tree_util.tree_flatten_with_path(payload)[0]
+        np.savez(path + ".npz", **{
+            jax.tree_util.keystr(k): np.asarray(v) for k, v in flat})
+    with open(os.path.join(ckpt_dir, "recovery.json"), "w") as f:
+        json.dump({"step": step}, f)
+    return path
+
+
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     if not os.path.isdir(ckpt_dir):
         return None
@@ -107,7 +139,19 @@ def restore_checkpoint(path: str, state):
 
 
 def auto_resume(ckpt_dir: str, state):
+    """Resume from the newest of: epoch checkpoints and the mid-epoch
+    recovery slot (whichever has the larger step)."""
     path = latest_checkpoint(ckpt_dir)
+    best_step = -1
+    if path is not None:
+        best_step = int(re.search(r"checkpoint-(\d+)$", path).group(1))
+    rec_meta = os.path.join(ckpt_dir, "recovery.json")
+    rec_path = os.path.join(ckpt_dir, "recovery")
+    if os.path.exists(rec_meta) and os.path.isdir(rec_path):
+        with open(rec_meta) as f:
+            rec_step = int(json.load(f)["step"])
+        if rec_step > best_step:
+            path, best_step = rec_path, rec_step
     if path is None:
         return state, False
     return restore_checkpoint(path, state), True

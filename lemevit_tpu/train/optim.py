@@ -35,17 +35,47 @@ def build_lr_schedule(
     warmup_lr: float = 1e-6,
     min_lr: float = 1e-5,
     scaling: str = "linear",
+    sched: str = "cosine",
+    decay_epochs: float = 90,
+    decay_rate: float = 0.1,
+    decay_milestones=(),
+    power: float = 1.0,
 ):
+    """LR schedule factory: cosine (default), step, multistep, poly,
+    constant — the timm create_scheduler_v2 surface the reference reaches
+    through --sched (/root/reference/main.py:514-537). All schedules share
+    the linear warmup from warmup_lr."""
     peak = scaled_lr(base_lr, global_batch_size, scaling=scaling)
-    warmup_steps = int(warmup_epochs * steps_per_epoch)
-    total_steps = int(epochs * steps_per_epoch)
-    return optax.warmup_cosine_decay_schedule(
-        init_value=warmup_lr,
-        peak_value=peak,
-        warmup_steps=max(warmup_steps, 1),
-        decay_steps=max(total_steps, warmup_steps + 1),
-        end_value=min_lr,
-    )
+    warmup_steps = max(int(warmup_epochs * steps_per_epoch), 1)
+    total_steps = max(int(epochs * steps_per_epoch), warmup_steps + 1)
+    if sched == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=warmup_lr, peak_value=peak,
+            warmup_steps=warmup_steps, decay_steps=total_steps,
+            end_value=min_lr)
+    warmup = optax.linear_schedule(warmup_lr, peak, warmup_steps)
+    # decay milestones are measured in epochs FROM TRAINING START (timm
+    # convention); the joined main schedule starts counting after warmup,
+    # so shift its boundaries left by warmup_steps
+    if sched == "step":
+        ms = [k * decay_epochs for k in
+              range(1, int(epochs / max(decay_epochs, 1e-9)) + 1)]
+        bounds = {max(int(m * steps_per_epoch) - warmup_steps, 1):
+                  decay_rate for m in ms}
+        main = optax.piecewise_constant_schedule(peak, bounds)
+    elif sched == "multistep":
+        bounds = {max(int(m * steps_per_epoch) - warmup_steps, 1):
+                  decay_rate for m in decay_milestones}
+        main = optax.piecewise_constant_schedule(peak, bounds)
+    elif sched == "poly":
+        main = optax.polynomial_schedule(
+            init_value=peak, end_value=min_lr, power=power,
+            transition_steps=total_steps - warmup_steps)
+    elif sched in ("constant", "none"):
+        main = optax.constant_schedule(peak)
+    else:
+        raise ValueError(f"unknown sched {sched!r}")
+    return optax.join_schedules([warmup, main], [warmup_steps])
 
 
 def _wd_mask(params):
@@ -80,14 +110,46 @@ def build_optimizer(
     grad_accum_steps: int = 1,
     frozen_prefixes=(),
     params_example=None,
+    opt: str = "adamw",
+    momentum: float = 0.9,
 ) -> optax.GradientTransformation:
+    """Optimizer factory covering the timm create_optimizer_v2 names the
+    reference reaches through --opt (/root/reference/main.py:258): adamw
+    (default), adam, sgd/momentum/nesterov, rmsprop (tf-style), lamb,
+    adagrad. Weight decay always skips 1D params and meta_tokens; for
+    non-decoupled optimizers it is applied as masked add_decayed_weights
+    before the update rule (timm's L2-into-grads placement)."""
     mask = (lambda p: _wd_mask(p)) if params_example is None else _wd_mask(
         params_example)
     chain = []
     if clip_grad:
         chain.append(optax.clip_by_global_norm(clip_grad))
-    chain.append(optax.adamw(learning_rate, b1=beta1, b2=beta2, eps=eps,
-                             weight_decay=weight_decay, mask=mask))
+    opt = opt.lower()
+    if opt == "adamw":
+        chain.append(optax.adamw(learning_rate, b1=beta1, b2=beta2, eps=eps,
+                                 weight_decay=weight_decay, mask=mask))
+    elif opt == "lamb":
+        chain.append(optax.lamb(learning_rate, b1=beta1, b2=beta2, eps=eps,
+                                weight_decay=weight_decay, mask=mask))
+    else:
+        if weight_decay:
+            chain.append(optax.masked(
+                optax.add_decayed_weights(weight_decay), mask))
+        if opt == "adam":
+            chain.append(optax.adam(learning_rate, b1=beta1, b2=beta2,
+                                    eps=eps))
+        elif opt in ("sgd", "momentum", "nesterov"):
+            chain.append(optax.sgd(
+                learning_rate,
+                momentum=momentum if opt != "sgd" or momentum else None,
+                nesterov=opt == "nesterov"))
+        elif opt in ("rmsprop", "rmsproptf"):
+            chain.append(optax.rmsprop(learning_rate, decay=0.9, eps=eps,
+                                       momentum=momentum, centered=False))
+        elif opt == "adagrad":
+            chain.append(optax.adagrad(learning_rate, eps=eps))
+        else:
+            raise ValueError(f"unknown opt {opt!r}")
     tx = optax.chain(*chain)
     if frozen_prefixes:
         fm = lambda p: _freeze_mask(p, tuple(frozen_prefixes))

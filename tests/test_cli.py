@@ -156,3 +156,28 @@ def test_validate_bulk(tmp_path):
         "--workers", "1", "--bulk", str(tmp_path / "ckpt*.pth"),
     ])
     assert "checkpoint" in res and res["top1"] >= 0.0
+
+
+def test_recovery_checkpoint_mid_epoch_resume(tmp_path):
+    """Kill/resume mid-epoch: recovery slot restores the exact step."""
+    import shutil
+    from lemevit_tpu.cli.train import main
+    args = [
+        "--synthetic", "--model", "lemevit_micro", "--img-size", "32",
+        "--batch-size", "2", "--num-classes", "5",
+        "--steps-per-epoch", "4", "--warmup-epochs", "1",
+        "--output", str(tmp_path), "--workers", "1",
+        "--recovery-interval", "2",
+    ]
+    main(args + ["--epochs", "1"])
+    ckpt_dir = tmp_path / "lemevit_micro" / "checkpoints"
+    assert (ckpt_dir / "recovery").is_dir()
+    assert (ckpt_dir / "recovery.json").exists()
+    # simulate a crash after the last recovery save: drop the epoch-end
+    # checkpoints, leaving only the mid-epoch recovery slot (step 4)
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("checkpoint-"):
+            shutil.rmtree(ckpt_dir / name)
+    (ckpt_dir / "checkpoints.json").unlink()
+    out = main(args + ["--epochs", "2"])  # resumes at step 4 -> 4 more
+    assert out["steps"] == 8

@@ -157,3 +157,60 @@ def test_image_folder_cache_modes(tmp_path):
     assert lab_c == lab_d
     import numpy as np
     np.testing.assert_array_equal(np.asarray(img_c), np.asarray(img_d))
+
+
+def test_webdataset_folder(tmp_path):
+    """Native WebDataset tar-shard reader: random access + labels."""
+    import io
+    import tarfile
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for shard in range(2):
+        with tarfile.open(tmp_path / f"shard-{shard:04d}.tar", "w") as tf:
+            for j in range(3):
+                key = f"s{shard}_{j:03d}"
+                img = Image.fromarray(
+                    rng.randint(0, 255, (20, 24, 3), np.uint8))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                _add_tar_bytes(tf, key + ".png", buf.getvalue())
+                _add_tar_bytes(tf, key + ".cls",
+                               str(shard * 3 + j).encode())
+
+    from lemevit_tpu.data.iterable import WebDatasetFolder
+    ds = WebDatasetFolder(str(tmp_path))
+    assert len(ds) == 6
+    img, label = ds[4]  # random access into the second shard
+    assert img.shape == (20, 24, 3) and label == 4
+    img0, label0 = ds[0]
+    assert label0 == 0
+    # factory branch
+    from lemevit_tpu.data.datasets import create_dataset
+    ds2 = create_dataset("wds", root=str(tmp_path.parent),
+                         split=tmp_path.name)
+    assert len(ds2) == 6 and ds2[4][1] == 4
+    # pickling drops handles (loader threads / processes)
+    import pickle
+    ds3 = pickle.loads(pickle.dumps(ds))
+    assert ds3[2][1] == 2
+
+
+def _add_tar_bytes(tf, name, payload):
+    import io
+    import tarfile
+    info = tarfile.TarInfo(name)
+    info.size = len(payload)
+    tf.addfile(info, io.BytesIO(payload))
+
+
+def test_hfds_tfds_gated():
+    """Without the optional libs the adapters raise a clear ImportError."""
+    from lemevit_tpu.data.datasets import create_dataset
+    for name in ("hfds/imagenet-1k", "tfds/imagenet2012"):
+        try:
+            create_dataset(name, split="train")
+        except ImportError as e:
+            assert "package" in str(e)
+        except Exception:
+            pass  # lib present and reached the hub — fine

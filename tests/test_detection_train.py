@@ -73,7 +73,8 @@ def test_detection_loss_end_to_end_grad():
     from lemevit_tpu.tasks import OrientedRCNN
     det = OrientedRCNN(backbone=create_model("lemevit_micro",
                                              features_only=True),
-                       num_classes=3, fpn_channels=16, num_proposals=8)
+                       num_classes=3, fpn_channels=16, num_proposals=8,
+                       rpn_nms_pre=16)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
     v = det.init(jax.random.PRNGKey(1), x)
     gt_obbs = jnp.array([[[32., 32., 20., 10., 0.2],
@@ -95,3 +96,53 @@ def test_detection_loss_end_to_end_grad():
     assert set(parts) == {"rpn_cls", "rpn_reg", "roi_cls", "roi_reg"}
     gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_select_proposals_rpn_nms_suppresses_same_level_overlaps():
+    from lemevit_tpu.ops.rotated import box_iou_rotated
+    from lemevit_tpu.tasks.detection import select_proposals
+
+    # one level, 1x1 spatial grid of 6 anchors at the same spot: raw top-k
+    # would return 6 near-identical boxes; NMS at 0.8 must keep ~1
+    rng = np.random.default_rng(0)
+    b, a = 1, 6
+    anchors = [jnp.tile(jnp.array([[50., 50., 20., 20.]]), (a, 1))]
+    scores = [jnp.asarray(rng.uniform(1, 2, (b, 1, 1, a)), jnp.float32)]
+    # tiny delta jitter -> nearly coincident decoded boxes
+    deltas = [jnp.asarray(rng.uniform(-0.01, 0.01, (b, 1, 1, a * 6)),
+                          jnp.float32)]
+
+    sel = select_proposals(scores, deltas, anchors, num_proposals=4,
+                           nms_pre=6, nms_thr=0.8)
+    assert sel.shape == (1, 4, 5)
+    iou = np.asarray(box_iou_rotated(sel[0], sel[0]))
+    off = iou[~np.eye(4, dtype=bool)]
+    # survivors must not overlap above the NMS threshold... but with only
+    # ~1 real survivor the rest are -inf-score fillers (duplicates of
+    # suppressed rows). Verify against the no-NMS selection instead:
+    raw = select_proposals(scores, deltas, anchors, num_proposals=4,
+                           nms_pre=6, nms_thr=None)
+    iou_raw = np.asarray(box_iou_rotated(raw[0], raw[0]))
+    off_raw = iou_raw[~np.eye(4, dtype=bool)]
+    assert off_raw.min() > 0.8          # raw top-k keeps heavy overlaps
+    # with NMS, the top-1 slot is the max-score box and every *other*
+    # distinct survivor (if any) overlaps it <= thr; since all 6 overlap,
+    # only one distinct box survives -> selection is that box repeated
+    assert np.allclose(np.asarray(sel[0, 0]), np.asarray(raw[0, 0]),
+                       atol=1e-5)
+
+
+def test_select_proposals_two_levels_distinct_boxes():
+    from lemevit_tpu.tasks.detection import select_proposals
+
+    # two levels with well-separated boxes: NMS must keep both, and the
+    # global top-k must order by score across levels
+    anchors = [jnp.array([[20., 20., 10., 10.]]),
+               jnp.array([[80., 80., 30., 30.]])]
+    scores = [jnp.full((1, 1, 1, 1), 1.0), jnp.full((1, 1, 1, 1), 3.0)]
+    deltas = [jnp.zeros((1, 1, 1, 6)), jnp.zeros((1, 1, 1, 6))]
+    sel = np.asarray(select_proposals(scores, deltas, anchors, 2,
+                                      nms_pre=4, nms_thr=0.8))
+    # higher-score level-2 box first
+    np.testing.assert_allclose(sel[0, 0, :2], [80, 80], atol=1e-3)
+    np.testing.assert_allclose(sel[0, 1, :2], [20, 20], atol=1e-3)

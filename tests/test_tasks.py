@@ -88,7 +88,7 @@ def test_midpoint_offset_decode_axis_aligned():
 def test_oriented_rcnn_forward():
     from lemevit_tpu.tasks import OrientedRCNN
     det = OrientedRCNN(backbone=_backbone(), num_classes=4,
-                       fpn_channels=32, num_proposals=16)
+                       fpn_channels=32, num_proposals=16, rpn_nms_pre=32)
     x = jnp.zeros((1, 64, 64, 3))
     v = det.init(jax.random.PRNGKey(0), x)
     out = det.apply(v, x)
