@@ -73,25 +73,36 @@ _ERF_P = (3.6027794364e-01, -1.7988466805e-01, 1.3393152019e-01,
           2.7808746265e-03, -4.4408601711e-03, 1.8774974659e-03)
 
 
-def _erf(x):
-    """Polynomial erf (odd, degree-29 in x): |err| < 5.1e-7, no exp/divide.
-    Pallas TPU has no erf primitive; this keeps exact-GELU parity well
-    inside bf16/fp32 activation tolerance using only FMAs."""
-    xc = jnp.clip(x, -_ERF_B, _ERF_B)
-    s = xc * xc * jnp.asarray(2.0 / (_ERF_B * _ERF_B), x.dtype) \
+# Fast variant for bf16-stored activations: same construction on the
+# narrower |x| <= 2.75 domain (erfc(2.75) = 1.0e-4 tail). Max GELU error is
+# 1.7e-4*|x| = 8.6% of the bf16 ulp of |x| (validated numerically over
+# [-10, 10]) — invisible after the bf16 store — at 7 Horner FMAs vs 14.
+_ERF_FAST_B = 2.75
+_ERF_FAST_P = (5.1117490348e-01, -2.4263329605e-01, 1.5841515879e-01,
+               -1.0192192774e-01, 5.5716674929e-02, -2.8214666957e-02,
+               2.0627549177e-02, -9.6507272546e-03)
+
+
+def _erf(x, fast=False):
+    """Polynomial erf (odd): no exp/divide — Pallas TPU has no erf
+    primitive. fast=False: |err| < 5.1e-7 (fp32-grade, 14 FMAs).
+    fast=True: |err| < 3.4e-4 (bf16-grade, 7 FMAs)."""
+    b, p = (_ERF_FAST_B, _ERF_FAST_P) if fast else (_ERF_B, _ERF_P)
+    xc = jnp.clip(x, -b, b)
+    s = xc * xc * jnp.asarray(2.0 / (b * b), x.dtype) \
         - jnp.asarray(1.0, x.dtype)
-    acc = jnp.asarray(_ERF_P[-1], x.dtype)
-    for coef in _ERF_P[-2::-1]:
+    acc = jnp.asarray(p[-1], x.dtype)
+    for coef in p[-2::-1]:
         acc = acc * s + jnp.asarray(coef, x.dtype)
     return xc * acc
 
 
-def _gelu(t, ew=jnp.float32):
+def _gelu(t, ew=jnp.float32, fast=False):
     # exact (erf-form) GELU evaluated in `ew` (parity with torch nn.GELU;
-    # bf16 evaluation error << bf16 representation error of the result)
+    # evaluation error << representation error of the stored result)
     te = t.astype(ew)
     return (0.5 * te * (1.0 + _erf(te * jnp.asarray(
-        0.7071067811865476, ew)))).astype(ew)
+        0.7071067811865476, ew), fast=fast))).astype(ew)
 
 
 def _cpe_flat(xt, wc, bc, hh, ww):
@@ -168,6 +179,15 @@ def _bd_tile(t, g, mask):
 # row max; a fully-clipped head degrades to uniform attention instead of
 # NaN).
 _NEG_CLIP = -60.0
+# Shiftless softmax (PB_SHIFTLESS=0 restores max-shifting): scores are fp32,
+# so exp without the max subtraction is mathematically identical as long as
+# nothing overflows — fp32 exp holds to s=88, and the worst normalizer here
+# is 3136 * e^70 = 7.9e33 << fp32 max. A single upper clip at +70 replaces
+# the per-row max lane-reduction + subtract (VPU-expensive), and in the
+# online path it removes the running-max/alpha-rescale machinery outright.
+# Scores beyond +70 degrade to hard-max behavior instead of overflowing.
+_SHIFTLESS = os.environ.get("PB_SHIFTLESS", "1") != "0"
+_POS_CLIP = 70.0
 # g*T rows above this crash the Mosaic compiler on v5e (expansion to
 # (9408, 96) at DCA stage-1 scale; 3136 verified fine) — callers fall back
 # to the per-head loop rather than tiling the expansion.
@@ -190,8 +210,10 @@ def _attn_rows(q, k, v, scale, num_heads, head_dim, out_dtype, mask=None):
             s = jax.lax.dot_general(
                 q[:, gs], k[:, gs], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
-            s = s - jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp(s)
+            if _SHIFTLESS:
+                p = jnp.exp(jnp.minimum(s, _POS_CLIP))
+            else:
+                p = jnp.exp(s - jnp.max(s, axis=1, keepdims=True))
             p = p / jnp.sum(p, axis=1, keepdims=True)
             outs.append(jax.lax.dot_general(
                 p.astype(v.dtype), v[:, gs], (((1,), (0,)), ((), ())),
@@ -202,8 +224,11 @@ def _attn_rows(q, k, v, scale, num_heads, head_dim, out_dtype, mask=None):
         sc = jax.lax.dot_general(
             q[:, gs], kbd, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        m = jnp.max(sc, axis=1, keepdims=True)
-        p = jnp.exp(jnp.maximum(sc - m, _NEG_CLIP)).astype(v.dtype)
+        if _SHIFTLESS:
+            p = jnp.exp(jnp.minimum(sc, _POS_CLIP)).astype(v.dtype)
+        else:
+            m = jnp.max(sc, axis=1, keepdims=True)
+            p = jnp.exp(jnp.maximum(sc - m, _NEG_CLIP)).astype(v.dtype)
         o_raw = jax.lax.dot_general(
             p, vbd, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -235,6 +260,15 @@ def _online_attn(q, k, v, scale, num_heads, head_dim, m_scr, l_scr, acc_scr,
             s2 = jax.lax.dot_general(
                 q[:, gs], k[:, gs], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
+            if _SHIFTLESS:
+                # no running max: plain exp-sum accumulation (see _SHIFTLESS)
+                pj = jnp.exp(jnp.minimum(s2, _POS_CLIP))
+                l_scr[:, gs] = l_scr[:, gs] + jnp.sum(pj, axis=1,
+                                                      keepdims=True)
+                acc_scr[:, gs] = acc_scr[:, gs] + jax.lax.dot_general(
+                    pj.astype(dtype), v[:, gs], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                continue
             m_prev = m_scr[:, hs]
             m_cur = jnp.maximum(m_prev, jnp.max(s2, axis=1, keepdims=True))
             alpha = jnp.exp(m_prev - m_cur)
@@ -251,6 +285,15 @@ def _online_attn(q, k, v, scale, num_heads, head_dim, m_scr, l_scr, acc_scr,
         sc = jax.lax.dot_general(
             q[:, gs], kbd, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
+        if _SHIFTLESS:
+            p = jnp.exp(jnp.minimum(sc, _POS_CLIP)).astype(dtype)
+            l_scr[:, gs] = l_scr[:, gs] + jax.lax.dot_general(
+                p, mask, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_scr[:, gs] = acc_scr[:, gs] + jax.lax.dot_general(
+                p, vbd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            continue
         m_prev = m_scr[:, hs]
         m_cur = jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_cur)  # (M, 1): broadcasts over the group
@@ -266,10 +309,13 @@ def _online_attn(q, k, v, scale, num_heads, head_dim, m_scr, l_scr, acc_scr,
 
 
 def _mlp_residual(t, w1, b1, w2, b2, ln_s, ln_b, dtype, ew=jnp.float32):
+    # bf16-stored activations take the short erf poly: its error is ~12x
+    # below the bf16 ulp, so the store quantization hides it entirely
+    fast = dtype == jnp.bfloat16
     m = _ln(t, ln_s, ln_b, ew=ew).astype(dtype)
     y = jax.lax.dot_general(m, w1, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    y = _gelu(y + b1.astype(jnp.float32), ew=ew).astype(dtype)
+    y = _gelu(y + b1.astype(jnp.float32), ew=ew, fast=fast).astype(dtype)
     y = jax.lax.dot_general(y, w2, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     return t.astype(jnp.float32) + y + b2.astype(jnp.float32)
@@ -285,8 +331,14 @@ def _s_block_kernel(x_ref, c_ref,
                     img_w: int, g: int):
     """rows = batch rows folded into one grid step: the dense matmuls run on
     (rows*n, C) — per-step op overhead amortizes — while attention loops
-    (row, head-group) pairs with independent softmaxes."""
+    (row, head-group) pairs with independent softmaxes.
+
+    Inputs arrive PRE-FOLDED as 2D (B*N, C)/(B*M, C) arrays blocked
+    (rows*n, C) per step: the fold reshape happens OUTSIDE the pallas_call
+    (a free XLA view), because the in-kernel (rows,N,C)->(rows*N,C) reshape
+    is what crashed the Mosaic compiler at C=320 and large folds."""
     dtype = x_ref.dtype
+    ew = dtype if _EW else jnp.float32
     c_dim = x_ref.shape[-1]
     ln1s, ln1b = ln1s_ref[0], ln1b_ref[0]
     ln2s, ln2b = ln2s_ref[0], ln2b_ref[0]
@@ -297,7 +349,7 @@ def _s_block_kernel(x_ref, c_ref,
 
     def branch(t, seq, mask_ref):
         mask = mask_ref[:] if g > 1 else None
-        a = _ln(t, ln1s, ln1b).astype(dtype)
+        a = _ln(t, ln1s, ln1b, ew=ew).astype(dtype)
         qkv = jax.lax.dot_general(
             a, wqkv, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -315,18 +367,17 @@ def _s_block_kernel(x_ref, c_ref,
                                 preferred_element_type=jnp.float32)
         t1 = t.astype(jnp.float32) + o + bp.astype(jnp.float32)
         out = _mlp_residual(t1.astype(dtype), w1, b1, w2, b2, ln2s, ln2b,
-                            dtype)
+                            dtype, ew=ew)
         return out.astype(dtype)
 
-    xflat = x_ref[:].reshape(rows * n, c_dim)
+    xflat = x_ref[:]
     if use_cpe:
         # one CPE pass over the folded flat array; per-image row masks
         # (rid % N) stop shifts from bleeding across images
         xflat = _cpe_flat(xflat, wcpe_ref[:], bcpe_ref[0],
                           n // img_w, img_w)
-    xo_ref[:] = branch(xflat, n, maskx_ref).reshape(rows, n, c_dim)
-    co_ref[:] = branch(c_ref[:].reshape(rows * m, c_dim),
-                       m, maskc_ref).reshape(rows, m, c_dim)
+    xo_ref[:] = branch(xflat, n, maskx_ref)
+    co_ref[:] = branch(c_ref[:], m, maskc_ref)
 
 
 def _weight_specs(shapes):
@@ -336,12 +387,8 @@ def _weight_specs(shapes):
 
 def _pick_rows(b: int, n: int, ch: int, hidden: int) -> int:
     """Batch rows per grid step, bounded by a ~9MB VMEM activation budget.
-
-    C=320 is blocklisted: the (rows,N,C)->(rows*N,C) in-kernel reshape
-    crashes the Mosaic compiler at that width (192/384/512 verified fine on
-    v5e; empirically bisected)."""
-    if ch == 320:
-        return 1
+    The fold reshape happens outside the kernel (2D blocking), so no Mosaic
+    reshape blocklist applies here."""
     per_row = 2 * (2 * n * ch + 3 * n * ch + n * max(hidden, ch))
     budget = int(os.environ.get("PB_S_VMEM_MB", "9")) * 1024 * 1024
     rows = 1
@@ -380,20 +427,24 @@ def _s_block_call(x, c, params, scale, num_heads, cpe=None, img_w=0):
                                rows=rows, n=n, m=m,
                                use_cpe=cpe is not None, img_w=img_w or 1,
                                g=g)
-    x_spec = pl.BlockSpec((rows, n, ch), lambda bi: (bi, 0, 0),
+    # fold OUTSIDE the kernel: 2D (B*N, C) views blocked (rows*N, C)
+    x2 = x.reshape(b * n, ch)
+    c2 = c.reshape(b * m, ch)
+    x_spec = pl.BlockSpec((rows * n, ch), lambda bi: (bi, 0),
                           memory_space=pltpu.VMEM)
-    c_spec = pl.BlockSpec((rows, m, ch), lambda bi: (bi, 0, 0),
+    c_spec = pl.BlockSpec((rows * m, ch), lambda bi: (bi, 0),
                           memory_space=pltpu.VMEM)
     w_specs = _weight_specs([w.shape for w in weights])
-    return pl.pallas_call(
+    xo, co = pl.pallas_call(
         kernel,
         grid=(b // rows,),
         in_specs=[x_spec, c_spec] + w_specs,
         out_specs=[x_spec, c_spec],
-        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype),
-                   jax.ShapeDtypeStruct(c.shape, c.dtype)],
+        out_shape=[jax.ShapeDtypeStruct(x2.shape, x.dtype),
+                   jax.ShapeDtypeStruct(c2.shape, c.dtype)],
         interpret=_INTERPRET,
-    )(x, c, *weights)
+    )(x2, c2, *weights)
+    return xo.reshape(x.shape), co.reshape(c.shape)
 
 
 def _dca_block_kernel(x_ref, c_ref,
@@ -483,22 +534,24 @@ def _dca_rows_kernel(x_ref, c_ref,
                      gx: int, gc: int, use_cpe: bool, img_w: int):
     """Single-tile (whole image per row) DCA block with batch-row folding:
     plain softmax (no online accumulation), flat matmuls over rows*N, and
-    per-(row, head-group) attention loops. fp32 elementwise (the
-    bf16+folding combination crashes Mosaic)."""
+    per-(row, head-group) attention loops. Inputs arrive pre-folded as 2D
+    (B*N, C)/(B*M, C) arrays blocked (rows*n, C) per step (the in-kernel
+    fold reshape was the Mosaic crash class — see _s_block_kernel)."""
     dtype = x_ref.dtype
+    ew = dtype if _EW else jnp.float32
     c_dim = x_ref.shape[-1]
     ln1s, ln1b = ln1s_ref[0], ln1b_ref[0]
     ln2s, ln2b = ln2s_ref[0], ln2b_ref[0]
 
-    xflat = x_ref[:].reshape(rows * n, c_dim)
+    xflat = x_ref[:]
     if use_cpe:
         # per-image row masks inside _cpe_flat stop the 3x3 shifts from
         # bleeding across the folded images
         xflat = _cpe_flat(xflat, wcpe_ref[:], bcpe_ref[0],
                           n // img_w, img_w)
-    cflat = c_ref[:].reshape(rows * m, c_dim)
-    xa = _ln(xflat, ln1s, ln1b).astype(dtype)
-    ca = _ln(cflat, ln1s, ln1b).astype(dtype)
+    cflat = c_ref[:]
+    xa = _ln(xflat, ln1s, ln1b, ew=ew).astype(dtype)
+    ca = _ln(cflat, ln1s, ln1b, ew=ew).astype(dtype)
     qkv1 = jax.lax.dot_general(
         xa, wqkv1_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -535,26 +588,21 @@ def _dca_rows_kernel(x_ref, c_ref,
                              preferred_element_type=jnp.float32)
     x1 = xflat.astype(jnp.float32) + ox + bpx_ref[0].astype(jnp.float32)
     xo = _mlp_residual(x1.astype(dtype), w1_ref[:], b1_ref[0], w2_ref[:],
-                       b2_ref[0], ln2s, ln2b, dtype)
-    xo_ref[:] = xo.astype(dtype).reshape(rows, n, c_dim)
+                       b2_ref[0], ln2s, ln2b, dtype, ew=ew)
+    xo_ref[:] = xo.astype(dtype)
 
     oc = jax.lax.dot_general(ac, wpc_ref[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     c1 = cflat.astype(jnp.float32) + oc + bpc_ref[0].astype(jnp.float32)
     co = _mlp_residual(c1.astype(dtype), w1_ref[:], b1_ref[0], w2_ref[:],
-                       b2_ref[0], ln2s, ln2b, dtype)
-    co_ref[:] = co.astype(dtype).reshape(rows, m, c_dim)
+                       b2_ref[0], ln2s, ln2b, dtype, ew=ew)
+    co_ref[:] = co.astype(dtype)
 
 
 def _dca_pick_rows(b: int, n: int, ch: int, hidden: int) -> int:
-    # empirical Mosaic crash blocklist (v5e): the folded reshape fails at
-    # ch=320 (s_block too) and at ch=192 with N>=784 in this kernel
-    if ch in (192, 320):
-        return 1
-    # budget kept conservative: rows=2 at (3136, 96) and rows=8 at
-    # (1568, 384) both crash the Mosaic compiler (v5e, bisected via
-    # PB_DCA_VMEM_MB/PB_S_VMEM_MB) — the fold size is compiler-limited,
-    # not VMEM-limited
+    # The old in-kernel fold reshape crashed Mosaic at ch in (192, 320) and
+    # several fold sizes; with the fold moved outside the kernel (2D
+    # blocking) only the VMEM budget bounds the fold.
     per_row = 2 * (2 * n * ch + 6 * n * ch + n * max(hidden, ch))
     budget = int(os.environ.get("PB_DCA_VMEM_MB", "9")) * 1024 * 1024
     for r in (8, 4, 2):
@@ -592,20 +640,24 @@ def _dca_rows_call(x, c, params, scale_x, scale_c, num_heads, rows,
         _dca_rows_kernel, scale_x=float(scale_x), scale_c=float(scale_c),
         num_heads=num_heads, head_dim=d, rows=rows, n=n, m=m, gx=gx, gc=gc,
         use_cpe=cpe is not None, img_w=img_w or 1)
-    x_spec = pl.BlockSpec((rows, n, ch), lambda bi: (bi, 0, 0),
+    # fold OUTSIDE the kernel: 2D (B*N, C) views blocked (rows*N, C)
+    x2 = x.reshape(b * n, ch)
+    c2 = c.reshape(b * m, ch)
+    x_spec = pl.BlockSpec((rows * n, ch), lambda bi: (bi, 0),
                           memory_space=pltpu.VMEM)
-    c_spec = pl.BlockSpec((rows, m, ch), lambda bi: (bi, 0, 0),
+    c_spec = pl.BlockSpec((rows * m, ch), lambda bi: (bi, 0),
                           memory_space=pltpu.VMEM)
     w_specs = _weight_specs([w.shape for w in weights])
-    return pl.pallas_call(
+    xo, co = pl.pallas_call(
         kernel,
         grid=(b // rows,),
         in_specs=[x_spec, c_spec] + w_specs,
         out_specs=[x_spec, c_spec],
-        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype),
-                   jax.ShapeDtypeStruct(c.shape, c.dtype)],
+        out_shape=[jax.ShapeDtypeStruct(x2.shape, x.dtype),
+                   jax.ShapeDtypeStruct(c2.shape, c.dtype)],
         interpret=_INTERPRET,
-    )(x, c, *weights)
+    )(x2, c2, *weights)
+    return xo.reshape(x.shape), co.reshape(c.shape)
 
 
 def _pick_tile(n: int, c: int = 0, hidden: int = 0) -> int:
