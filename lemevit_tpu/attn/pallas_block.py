@@ -73,36 +73,42 @@ _ERF_P = (3.6027794364e-01, -1.7988466805e-01, 1.3393152019e-01,
           2.7808746265e-03, -4.4408601711e-03, 1.8774974659e-03)
 
 
-# Fast variant for bf16-stored activations: same construction on the
-# narrower |x| <= 2.75 domain (erfc(2.75) = 1.0e-4 tail). Max GELU error is
-# 1.7e-4*|x| = 8.6% of the bf16 ulp of |x| (validated numerically over
-# [-10, 10]) — invisible after the bf16 store — at 7 Horner FMAs vs 14.
-_ERF_FAST_B = 2.75
-_ERF_FAST_P = (5.1117490348e-01, -2.4263329605e-01, 1.5841515879e-01,
-               -1.0192192774e-01, 5.5716674929e-02, -2.8214666957e-02,
-               2.0627549177e-02, -9.6507272546e-03)
-
-
-def _erf(x, fast=False):
-    """Polynomial erf (odd): no exp/divide — Pallas TPU has no erf
-    primitive. fast=False: |err| < 5.1e-7 (fp32-grade, 14 FMAs).
-    fast=True: |err| < 3.4e-4 (bf16-grade, 7 FMAs)."""
-    b, p = (_ERF_FAST_B, _ERF_FAST_P) if fast else (_ERF_B, _ERF_P)
-    xc = jnp.clip(x, -b, b)
-    s = xc * xc * jnp.asarray(2.0 / (b * b), x.dtype) \
+def _erf(x):
+    """Polynomial erf (odd, degree-29 in x): |err| < 5.1e-7, no exp/divide
+    — fp32-grade; Pallas TPU has no erf primitive."""
+    xc = jnp.clip(x, -_ERF_B, _ERF_B)
+    s = xc * xc * jnp.asarray(2.0 / (_ERF_B * _ERF_B), x.dtype) \
         - jnp.asarray(1.0, x.dtype)
-    acc = jnp.asarray(p[-1], x.dtype)
-    for coef in p[-2::-1]:
+    acc = jnp.asarray(_ERF_P[-1], x.dtype)
+    for coef in _ERF_P[-2::-1]:
         acc = acc * s + jnp.asarray(coef, x.dtype)
     return xc * acc
 
 
+# bf16-grade erf: erf(t) ~ tanh(t*(p1 + u*(p3 + u*p5))), u = t^2, fit by
+# least squares on [0, 6]; max erf err 4.1e-5 -> max GELU err 4.9e-5
+# absolute = 1% of the bf16 ulp of |x| (validated over [-10, 10]). tanh is
+# a single-pass hardware transcendental on TPU (measured ~free in
+# scripts/vpu_probe.py, vs ~5us/pass for a 7-FMA Horner at stage-3 sizes),
+# so this is ~6 cheap VPU ops total. The |t| <= 6 clamp keeps the quintic
+# argument in its monotone range (it turns over at t ~ 6.15).
+_ERF_TANH_P = (1.12812423, 0.10414107, -0.00181363)
+
+
 def _gelu(t, ew=jnp.float32, fast=False):
     # exact (erf-form) GELU evaluated in `ew` (parity with torch nn.GELU;
-    # evaluation error << representation error of the stored result)
+    # evaluation error << representation error of the stored result).
+    # fast=True (bf16-stored results) uses the tanh-erf form above.
     te = t.astype(ew)
+    if fast:
+        p1, p3, p5 = (jnp.asarray(v, ew) for v in _ERF_TANH_P)
+        tt = jnp.clip(te * jnp.asarray(0.7071067811865476, ew),
+                      -6.0, 6.0)
+        u = tt * tt
+        e = jnp.tanh(tt * (p1 + u * (p3 + u * p5)))
+        return (0.5 * te * (1.0 + e)).astype(ew)
     return (0.5 * te * (1.0 + _erf(te * jnp.asarray(
-        0.7071067811865476, ew), fast=fast))).astype(ew)
+        0.7071067811865476, ew)))).astype(ew)
 
 
 def _cpe_flat(xt, wc, bc, hh, ww):
