@@ -156,11 +156,14 @@ class LeMeBlock(nn.Module):
                 c = self._residual_update(c, ac, None, deterministic)
         else:  # "S": self-attention applied separately to x AND c,
             # with the same (shared) attention + MLP weights (ref :615-650).
-            # CPE stays outside the fused S-kernel (the folded-rows + CPE
-            # combination crashes the Mosaic compiler; D/C kernels fuse it).
-            x = self._cpe(x)
+            # CPE fuses into the kernel when possible (PB_S_CPE=0 reverts
+            # to the external XLA dwconv).
             fused = self._try_fused_s(x.reshape(b, h * w, ch), c,
-                                      deterministic, w)
+                                      deterministic, w, with_cpe=True)
+            if fused is None:
+                x = self._cpe(x)
+                fused = self._try_fused_s(x.reshape(b, h * w, ch), c,
+                                          deterministic, w, with_cpe=False)
             if fused is not None:
                 x, c = fused[0].reshape(b, h, w, ch), fused[1]
             else:
@@ -257,18 +260,27 @@ class LeMeBlock(nn.Module):
         except (KeyError, TypeError, LookupError):
             return None
 
-    def _try_fused_s(self, x, c, deterministic, img_w):
+    def _try_fused_s(self, x, c, deterministic, img_w, with_cpe=False):
         """Whole-block fused Pallas kernel (inference): reads x from HBM
-        once instead of ~16 times; x is PRE-CPE. Only on the pre-norm,
+        once instead of ~16 times. With ``with_cpe`` x must be PRE-CPE and
+        the 3x3 position embedding runs in-kernel (masked shifts), saving
+        the per-block XLA dwconv launch + an HBM round-trip of x
+        (PB_S_CPE=0 forces the external-dwconv path). Only on the pre-norm,
         no-layer-scale, deterministic path; numerics match the composition
         (tested)."""
         if not self._fusable(deterministic):
             return None
         try:
+            import os
             from lemevit_tpu.attn import pallas_block
             v = self.variables["params"]
             dt = self.dtype
-            cpe = None  # CPE applied outside for the S kernel (see caller)
+            if with_cpe:
+                if os.environ.get("PB_S_CPE", "1") == "0":
+                    return None
+                cpe = self._cpe_weights(v)  # LookupError -> fallback
+            else:
+                cpe = None
             params = (
                 v["norm1"]["scale"], v["norm1"]["bias"],
                 v["attn"]["qkv"]["kernel"].astype(dt),
