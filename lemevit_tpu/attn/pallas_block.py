@@ -45,18 +45,28 @@ _GROUP_ONLINE = os.environ.get("PB_GC", "1") != "0"
 # PB_EW=1 evaluates LN-apply/GELU in the input dtype (bf16 in prod) in the
 # row-unfolded kernels; fp32 inputs keep fp32 elementwise either way.
 _EW = os.environ.get("PB_EW", "0") != "0"
+# PB_JOINT=0 disables row-JOINT attention (all folded images in one
+# _attn_rows call — see _rowjoint_mask) in the folded kernels.
+_JOINT = os.environ.get("PB_JOINT", "1") != "0"
 
 
 def _ln(t, scale, bias, eps=1e-6, ew=jnp.float32):
     """LayerNorm: fp32 statistics, `ew`-dtype application.
 
-    ew=bf16 roughly doubles VPU rate but MUST NOT be combined with the
-    row-folded s_block (bf16 elementwise + folding crashes the Mosaic
-    compiler — bisected on v5e); the rows=1 DCA/C kernels use it safely."""
+    scale=None skips the affine part (2 VPU passes) — used when the
+    caller has FOLDED scale/bias into the following matmul's weights and
+    bias (W' = diag(s) @ W, b' = b_ln @ W + b), which is exact up to one
+    extra rounding of the weight product.
+
+    ew=bf16 roughly doubles VPU rate but was a measured net LOSS on v5e
+    (bench 2868 -> 2612 img/s with PB_EW=1): the dtype casts cost more
+    passes than the width saves. Kept as an A/B lever."""
     t32 = t.astype(jnp.float32)
     mu = jnp.mean(t32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(t32 - mu), axis=-1, keepdims=True)
     out = ((t32 - mu) * jax.lax.rsqrt(var + eps)).astype(ew)
+    if scale is None:
+        return out
     return out * scale.astype(ew) + bias.astype(ew)
 
 
@@ -122,24 +132,29 @@ def _cpe_flat(xt, wc, bc, hh, ww):
     xcol = row_ids % ww
     img_row = row_ids % img_n
     zeros = jnp.zeros_like(xt)
-    acc = bc.astype(xt.dtype) * jnp.ones((n, 1), xt.dtype)
-    for ky in range(3):
-        for kx in range(3):
-            dy, dx = ky - 1, kx - 1
-            s = dy * ww + dx
-            # zero-padded row shift via static slice + concat (pltpu.roll
-            # crashes the Mosaic compiler on these shapes; out-of-image
-            # rows are masked off below)
-            if s == 0:
-                shifted = xt
-            elif s > 0:
-                shifted = jnp.concatenate([xt[s:], zeros[:s]], axis=0)
-            else:
-                shifted = jnp.concatenate([zeros[:(-s)], xt[:n + s]], axis=0)
-            valid = ((xcol + dx >= 0) & (xcol + dx < ww)
-                     & (img_row + s >= 0) & (img_row + s < img_n))
-            tap = wc[ky * 3 + kx].astype(xt.dtype)
-            acc = acc + jnp.where(valid, shifted, zeros) * tap
+    dt = xt.dtype
+
+    def rshift(t, s):
+        # zero-padded flat-row shift via static slice + concat (pltpu.roll
+        # crashes the Mosaic compiler on these shapes)
+        if s == 0:
+            return t
+        if s > 0:
+            return jnp.concatenate([t[s:], zeros[:s]], axis=0)
+        return jnp.concatenate([zeros[:(-s)], t[:n + s]], axis=0)
+
+    # Separable-accumulation form (~26 VPU passes vs 36 for the naive
+    # 9-tap loop): the three x-shifted copies are built ONCE with their
+    # column masks folded in, each horizontal partial sum z_dy reuses
+    # them, and only z_{+-1} pay a row shift + image-boundary mask.
+    sxm = rshift(xt, -1) * (xcol > 0).astype(dt)        # left-neighbor
+    sxp = rshift(xt, 1) * (xcol < ww - 1).astype(dt)    # right-neighbor
+    tap = lambda ky, kx: wc[ky * 3 + kx].astype(dt)
+    z = [sxm * tap(ky, 0) + xt * tap(ky, 1) + sxp * tap(ky, 2)
+         for ky in range(3)]
+    acc = bc.astype(dt) + z[1]
+    acc = acc + rshift(z[0], -ww) * (img_row >= ww).astype(dt)
+    acc = acc + rshift(z[2], ww) * (img_row < img_n - ww).astype(dt)
     return xt + acc
 
 
@@ -175,6 +190,19 @@ def _bd_tile(t, g, mask):
     return jnp.concatenate([t] * g, axis=0) * mask
 
 
+def _rowjoint_mask(rows, seq_q, seq_k, g, dtype):
+    """(rows*seq_q, g*rows*seq_k) 0/1 validity mask for row-JOINT
+    attention: entry (i, j) = 1 iff query i's image row equals key j's
+    (key j lives at flat row j % (rows*seq_k) of the g-fold bd expansion).
+    Lets one _attn_rows call cover every folded image at once — the
+    cross-image scores are real dot products, so they are struck from the
+    softmax numerator AND normalizer by this elementwise multiply."""
+    rq, rk = rows * seq_q, rows * seq_k
+    qi = jax.lax.broadcasted_iota(jnp.int32, (rq, g * rk), 0) // seq_q
+    kj = (jax.lax.broadcasted_iota(jnp.int32, (rq, g * rk), 1) % rk) // seq_k
+    return (qi == kj).astype(dtype)
+
+
 # Joint-softmax head grouping: all g heads' scores live in one (R, g*S)
 # matrix (column block j = head j). ONE global row-max shifts every block by
 # the same per-row constant (softmax-invariant), so a single exp pass covers
@@ -200,14 +228,23 @@ _POS_CLIP = 70.0
 _MAX_BD_ROWS = 4096
 
 
-def _attn_rows(q, k, v, scale, num_heads, head_dim, out_dtype, mask=None):
+def _attn_rows(q, k, v, scale, num_heads, head_dim, out_dtype, mask=None,
+               rowmask=None):
     """Attention on 2D (R,C)x(S,C) tiles; returns (R,C).
 
     With `mask` (the (g*S, g*d) block mask, g = mask cols // head_dim):
     joint-softmax head grouping — ~12 Mosaic ops per group instead of ~9
     per head, with full-lane MXU dots. The dots compute g x the needed
     FLOPs (zero blocks) — negligible next to qkv/MLP at these tile sizes.
-    mask=None runs the per-head loop."""
+    mask=None runs the per-head loop.
+
+    With `rowmask` ((R, g*S) validity mask from _rowjoint_mask): row-JOINT
+    mode — q/k/v carry `rows` folded images stacked along the row axis and
+    ONE call covers every (image, head-group) pair: cross-image scores are
+    struck from numerator and normalizer by the elementwise multiply.
+    Requires the shiftless softmax (a joint running max would couple
+    images). Collapses the per-step attention loop from rows*ceil(H/g)
+    serialized small-dot groups to ceil(H/g)."""
     g = 1 if mask is None else mask.shape[1] // head_dim
     outs = []
     for h0 in range(0, num_heads, g):
@@ -220,6 +257,8 @@ def _attn_rows(q, k, v, scale, num_heads, head_dim, out_dtype, mask=None):
                 p = jnp.exp(jnp.minimum(s, _POS_CLIP))
             else:
                 p = jnp.exp(s - jnp.max(s, axis=1, keepdims=True))
+            if rowmask is not None:
+                p = p * rowmask.astype(p.dtype)
             p = p / jnp.sum(p, axis=1, keepdims=True)
             outs.append(jax.lax.dot_general(
                 p.astype(v.dtype), v[:, gs], (((1,), (0,)), ((), ())),
@@ -235,6 +274,8 @@ def _attn_rows(q, k, v, scale, num_heads, head_dim, out_dtype, mask=None):
         else:
             m = jnp.max(sc, axis=1, keepdims=True)
             p = jnp.exp(jnp.maximum(sc - m, _NEG_CLIP)).astype(v.dtype)
+        if rowmask is not None:
+            p = p * rowmask.astype(p.dtype)
         o_raw = jax.lax.dot_general(
             p, vbd, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -328,13 +369,14 @@ def _mlp_residual(t, w1, b1, w2, b2, ln_s, ln_b, dtype, ew=jnp.float32):
 
 
 def _s_block_kernel(x_ref, c_ref,
-                    ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
-                    ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    wqkv_ref, bqkv_ref, wp_ref, bp_ref,
+                    w1_ref, b1_ref, w2_ref, b2_ref,
                     wcpe_ref, bcpe_ref, maskx_ref, maskc_ref,
+                    jrowx_ref, jrowc_ref,
                     xo_ref, co_ref, *,
                     scale: float, num_heads: int, head_dim: int,
                     rows: int, n: int, m: int, use_cpe: bool,
-                    img_w: int, g: int):
+                    img_w: int, g: int, joint_x: bool, joint_c: bool):
     """rows = batch rows folded into one grid step: the dense matmuls run on
     (rows*n, C) — per-step op overhead amortizes — while attention loops
     (row, head-group) pairs with independent softmaxes.
@@ -346,16 +388,16 @@ def _s_block_kernel(x_ref, c_ref,
     dtype = x_ref.dtype
     ew = dtype if _EW else jnp.float32
     c_dim = x_ref.shape[-1]
-    ln1s, ln1b = ln1s_ref[0], ln1b_ref[0]
-    ln2s, ln2b = ln2s_ref[0], ln2b_ref[0]
+    # LN1/LN2 affines arrive pre-FOLDED into wqkv/bqkv and w1/b1 (see
+    # _fold_ln in _s_block_call) — the in-kernel LNs only normalize.
     wqkv, bqkv = wqkv_ref[:], bqkv_ref[0]
     wp, bp = wp_ref[:], bp_ref[0]
     w1, b1 = w1_ref[:], b1_ref[0]
     w2, b2 = w2_ref[:], b2_ref[0]
 
-    def branch(t, seq, mask_ref):
+    def branch(t, seq, mask_ref, jrow_ref, joint):
         mask = mask_ref[:] if g > 1 else None
-        a = _ln(t, ln1s, ln1b, ew=ew).astype(dtype)
+        a = _ln(t, None, None, ew=ew).astype(dtype)
         qkv = jax.lax.dot_general(
             a, wqkv, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -363,16 +405,23 @@ def _s_block_kernel(x_ref, c_ref,
         q = qkv[:, :c_dim]
         k = qkv[:, c_dim:2 * c_dim]
         v = qkv[:, 2 * c_dim:]
-        outs = []
-        for r in range(rows):
-            rs = slice(r * seq, (r + 1) * seq)
-            outs.append(_attn_rows(q[rs], k[rs], v[rs], scale, num_heads,
-                                   head_dim, dtype, mask=mask))
-        o = jnp.concatenate(outs, axis=0) if rows > 1 else outs[0]
+        if joint:
+            # row-JOINT: all folded images in one call per head group (the
+            # bd mask arrives pre-sized (g*rows*seq, g*d) by the caller)
+            o = _attn_rows(q, k, v, scale, num_heads, head_dim, dtype,
+                           mask=mask, rowmask=jrow_ref[:])
+        else:
+            outs = []
+            for r in range(rows):
+                rs = slice(r * seq, (r + 1) * seq)
+                outs.append(_attn_rows(q[rs], k[rs], v[rs], scale,
+                                       num_heads, head_dim, dtype,
+                                       mask=mask))
+            o = jnp.concatenate(outs, axis=0) if rows > 1 else outs[0]
         o = jax.lax.dot_general(o, wp, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         t1 = t.astype(jnp.float32) + o + bp.astype(jnp.float32)
-        out = _mlp_residual(t1.astype(dtype), w1, b1, w2, b2, ln2s, ln2b,
+        out = _mlp_residual(t1.astype(dtype), w1, b1, w2, b2, None, None,
                             dtype, ew=ew)
         return out.astype(dtype)
 
@@ -382,13 +431,26 @@ def _s_block_kernel(x_ref, c_ref,
         # (rid % N) stop shifts from bleeding across images
         xflat = _cpe_flat(xflat, wcpe_ref[:], bcpe_ref[0],
                           n // img_w, img_w)
-    xo_ref[:] = branch(xflat, n, maskx_ref)
-    co_ref[:] = branch(c_ref[:], m, maskc_ref)
+    xo_ref[:] = branch(xflat, n, maskx_ref, jrowx_ref, joint_x)
+    co_ref[:] = branch(c_ref[:], m, maskc_ref, jrowc_ref, joint_c)
 
 
 def _weight_specs(shapes):
     return [pl.BlockSpec(s, lambda bi: tuple([0] * len(s)),
                          memory_space=pltpu.VMEM) for s in shapes]
+
+
+def _fold_ln(s, bvec, w, b):
+    """Fold an LN affine (s, bvec) into the matmul it feeds:
+    LN(t) @ W + b == norm(t) @ (diag(s) @ W) + (bvec @ W + b), where
+    norm(t) is the scale/bias-free normalization. Saves 2 VPU passes over
+    the (N, C) activation per LN inside the kernels; exact up to one extra
+    bf16 rounding of the weight product. Runs OUTSIDE pallas in the jitted
+    wrapper (O(C^2), fused and hoisted by XLA). Folded bias stays fp32."""
+    w32 = w.astype(jnp.float32)
+    wf = (w32 * s.astype(jnp.float32)[:, None]).astype(w.dtype)
+    bf = bvec.astype(jnp.float32) @ w32 + b.astype(jnp.float32)
+    return wf, bf
 
 
 def _pick_rows(b: int, n: int, ch: int, hidden: int) -> int:
@@ -423,16 +485,30 @@ def _s_block_call(x, c, params, scale, num_heads, cpe=None, img_w=0):
         wcpe, bcpe = cpe[0], row(cpe[1])
     g = _pick_group(num_heads, d)
     dummy = jnp.zeros((8, 128), x.dtype)
-    maskx = _bd_mask(n, g, d, x.dtype) if g > 1 else dummy
-    maskc = _bd_mask(m, g, d, x.dtype) if g > 1 else dummy
-    weights = [row(ln1s), row(ln1b), wqkv, row(bqkv), wp, row(bp),
-               row(ln2s), row(ln2b), w1, row(b1), w2, row(b2),
-               wcpe, bcpe, maskx, maskc]
+    # row-JOINT attention (one _attn_rows per head group covering all
+    # folded images): needs the shiftless softmax; x-branch only when the
+    # folded sequence is short (the bd expansion wastes FLOPs ~ (g*rows)x,
+    # negligible for thin branches but not for rows*n in the hundreds+)
+    joint_c = (_JOINT and _SHIFTLESS and rows > 1
+               and g * rows * m <= _MAX_BD_ROWS)
+    joint_x = (_JOINT and _SHIFTLESS and rows > 1 and rows * n <= 512
+               and g * rows * n <= _MAX_BD_ROWS)
+    maskx = (_bd_mask(rows * n if joint_x else n, g, d, x.dtype)
+             if g > 1 else dummy)
+    maskc = (_bd_mask(rows * m if joint_c else m, g, d, x.dtype)
+             if g > 1 else dummy)
+    jrowx = (_rowjoint_mask(rows, n, n, g, x.dtype) if joint_x else dummy)
+    jrowc = (_rowjoint_mask(rows, m, m, g, x.dtype) if joint_c else dummy)
+    wqkv_f, bqkv_f = _fold_ln(ln1s, ln1b, wqkv, bqkv)
+    w1_f, b1_f = _fold_ln(ln2s, ln2b, w1, b1)
+    weights = [wqkv_f, row(bqkv_f), wp, row(bp),
+               w1_f, row(b1_f), w2, row(b2),
+               wcpe, bcpe, maskx, maskc, jrowx, jrowc]
     kernel = functools.partial(_s_block_kernel, scale=float(scale),
                                num_heads=num_heads, head_dim=d,
                                rows=rows, n=n, m=m,
                                use_cpe=cpe is not None, img_w=img_w or 1,
-                               g=g)
+                               g=g, joint_x=joint_x, joint_c=joint_c)
     # fold OUTSIDE the kernel: 2D (B*N, C) views blocked (rows*N, C)
     x2 = x.reshape(b * n, ch)
     c2 = c.reshape(b * m, ch)
@@ -454,10 +530,9 @@ def _s_block_call(x, c, params, scale, num_heads, cpe=None, img_w=0):
 
 
 def _dca_block_kernel(x_ref, c_ref,
-                      ln1s_ref, ln1b_ref,
                       wqkv1_ref, bqkv1_ref, wqkv2_ref, bqkv2_ref,
                       wpx_ref, bpx_ref, wpc_ref, bpc_ref,
-                      ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                      w1_ref, b1_ref, w2_ref, b2_ref,
                       wcpe_ref, bcpe_ref, maskx_ref, maskc_ref,
                       xo_ref, co_ref,
                       q2_scr, k2_scr, v2_scr, m_scr, l_scr, acc_scr,
@@ -468,12 +543,11 @@ def _dca_block_kernel(x_ref, c_ref,
     dtype = x_ref.dtype
     ew = dtype if _EW else jnp.float32
     c_dim = x_ref.shape[-1]
-    ln1s, ln1b = ln1s_ref[0], ln1b_ref[0]
-    ln2s, ln2b = ln2s_ref[0], ln2b_ref[0]
+    # LN affines pre-folded into wqkv1/wqkv2/w1 (see _fold_ln)
 
     @pl.when(t == 0)
     def _():
-        ca = _ln(c_ref[0], ln1s, ln1b, ew=ew).astype(dtype)
+        ca = _ln(c_ref[0], None, None, ew=ew).astype(dtype)
         qkv2 = jax.lax.dot_general(
             ca, wqkv2_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -490,7 +564,7 @@ def _dca_block_kernel(x_ref, c_ref,
     if use_cpe:  # only engaged when the tile spans the whole image
         xt = _cpe_flat(xt, wcpe_ref[:], bcpe_ref[0],
                        xt.shape[0] // img_w, img_w)
-    xa = _ln(xt, ln1s, ln1b, ew=ew).astype(dtype)
+    xa = _ln(xt, None, None, ew=ew).astype(dtype)
     qkv1 = jax.lax.dot_general(
         xa, wqkv1_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -512,7 +586,7 @@ def _dca_block_kernel(x_ref, c_ref,
                             preferred_element_type=jnp.float32)
     x1 = xt.astype(jnp.float32) + o + bpx_ref[0].astype(jnp.float32)
     xo_ref[0] = _mlp_residual(x1.astype(dtype), w1_ref[:], b1_ref[0],
-                              w2_ref[:], b2_ref[0], ln2s, ln2b,
+                              w2_ref[:], b2_ref[0], None, None,
                               dtype, ew=ew).astype(dtype)
 
     @pl.when(t == n_tiles - 1)
@@ -524,20 +598,21 @@ def _dca_block_kernel(x_ref, c_ref,
         c1 = c_ref[0].astype(jnp.float32) + oc + bpc_ref[0].astype(
             jnp.float32)
         co = _mlp_residual(c1.astype(dtype), w1_ref[:], b1_ref[0],
-                           w2_ref[:], b2_ref[0], ln2s, ln2b, dtype, ew=ew)
+                           w2_ref[:], b2_ref[0], None, None, dtype, ew=ew)
         co_ref[0] = co.astype(dtype)
 
 
 def _dca_rows_kernel(x_ref, c_ref,
-                     ln1s_ref, ln1b_ref,
                      wqkv1_ref, bqkv1_ref, wqkv2_ref, bqkv2_ref,
                      wpx_ref, bpx_ref, wpc_ref, bpc_ref,
-                     ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                     w1_ref, b1_ref, w2_ref, b2_ref,
                      wcpe_ref, bcpe_ref, maskx_ref, maskc_ref,
+                     jrowx_ref, jrowc_ref,
                      xo_ref, co_ref, *,
                      scale_x: float, scale_c: float, num_heads: int,
                      head_dim: int, rows: int, n: int, m: int,
-                     gx: int, gc: int, use_cpe: bool, img_w: int):
+                     gx: int, gc: int, use_cpe: bool, img_w: int,
+                     joint_x: bool, joint_c: bool):
     """Single-tile (whole image per row) DCA block with batch-row folding:
     plain softmax (no online accumulation), flat matmuls over rows*N, and
     per-(row, head-group) attention loops. Inputs arrive pre-folded as 2D
@@ -546,8 +621,6 @@ def _dca_rows_kernel(x_ref, c_ref,
     dtype = x_ref.dtype
     ew = dtype if _EW else jnp.float32
     c_dim = x_ref.shape[-1]
-    ln1s, ln1b = ln1s_ref[0], ln1b_ref[0]
-    ln2s, ln2b = ln2s_ref[0], ln2b_ref[0]
 
     xflat = x_ref[:]
     if use_cpe:
@@ -556,8 +629,9 @@ def _dca_rows_kernel(x_ref, c_ref,
         xflat = _cpe_flat(xflat, wcpe_ref[:], bcpe_ref[0],
                           n // img_w, img_w)
     cflat = c_ref[:]
-    xa = _ln(xflat, ln1s, ln1b, ew=ew).astype(dtype)
-    ca = _ln(cflat, ln1s, ln1b, ew=ew).astype(dtype)
+    # LN affines pre-folded into wqkv1/wqkv2/w1 (see _fold_ln)
+    xa = _ln(xflat, None, None, ew=ew).astype(dtype)
+    ca = _ln(cflat, None, None, ew=ew).astype(dtype)
     qkv1 = jax.lax.dot_general(
         xa, wqkv1_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -573,35 +647,48 @@ def _dca_rows_kernel(x_ref, c_ref,
     k2 = qkv2[:, c_dim:2 * c_dim]
     v2 = qkv2[:, 2 * c_dim:]
 
-    x_rows, c_rows = [], []
-    for r in range(rows):
-        xs = slice(r * n, (r + 1) * n)
-        cs = slice(r * m, (r + 1) * m)
-        # x <- meta and meta <- x: both are head-group-batched cross
-        # attentions (one pair of full-lane MXU dots per head group)
-        x_rows.append(_attn_rows(q1[xs], k2[cs], v2[cs], scale_x,
-                                 num_heads, head_dim, dtype,
-                                 mask=maskx_ref[:] if gx > 1 else None))
-        c_rows.append(_attn_rows(q2[cs], k1[xs], v1[xs], scale_c,
-                                 num_heads, head_dim, dtype,
-                                 mask=maskc_ref[:] if gc > 1 else None))
-    ax = (jnp.concatenate(x_rows, axis=0) if rows > 1
-          else x_rows[0]).astype(dtype)
-    ac = (jnp.concatenate(c_rows, axis=0) if rows > 1
-          else c_rows[0]).astype(dtype)
+    if joint_x:  # all images' x<-meta in one call per head group
+        ax = _attn_rows(q1, k2, v2, scale_x, num_heads, head_dim, dtype,
+                        mask=maskx_ref[:] if gx > 1 else None,
+                        rowmask=jrowx_ref[:]).astype(dtype)
+    if joint_c:
+        ac = _attn_rows(q2, k1, v1, scale_c, num_heads, head_dim, dtype,
+                        mask=maskc_ref[:] if gc > 1 else None,
+                        rowmask=jrowc_ref[:]).astype(dtype)
+    if not (joint_x and joint_c):
+        x_rows, c_rows = [], []
+        for r in range(rows):
+            xs = slice(r * n, (r + 1) * n)
+            cs = slice(r * m, (r + 1) * m)
+            # x <- meta and meta <- x: both are head-group-batched cross
+            # attentions (one pair of full-lane MXU dots per head group)
+            if not joint_x:
+                x_rows.append(_attn_rows(
+                    q1[xs], k2[cs], v2[cs], scale_x, num_heads, head_dim,
+                    dtype, mask=maskx_ref[:] if gx > 1 else None))
+            if not joint_c:
+                c_rows.append(_attn_rows(
+                    q2[cs], k1[xs], v1[xs], scale_c, num_heads, head_dim,
+                    dtype, mask=maskc_ref[:] if gc > 1 else None))
+        if not joint_x:
+            ax = (jnp.concatenate(x_rows, axis=0) if rows > 1
+                  else x_rows[0]).astype(dtype)
+        if not joint_c:
+            ac = (jnp.concatenate(c_rows, axis=0) if rows > 1
+                  else c_rows[0]).astype(dtype)
 
     ox = jax.lax.dot_general(ax, wpx_ref[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     x1 = xflat.astype(jnp.float32) + ox + bpx_ref[0].astype(jnp.float32)
     xo = _mlp_residual(x1.astype(dtype), w1_ref[:], b1_ref[0], w2_ref[:],
-                       b2_ref[0], ln2s, ln2b, dtype, ew=ew)
+                       b2_ref[0], None, None, dtype, ew=ew)
     xo_ref[:] = xo.astype(dtype)
 
     oc = jax.lax.dot_general(ac, wpc_ref[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     c1 = cflat.astype(jnp.float32) + oc + bpc_ref[0].astype(jnp.float32)
     co = _mlp_residual(c1.astype(dtype), w1_ref[:], b1_ref[0], w2_ref[:],
-                       b2_ref[0], ln2s, ln2b, dtype, ew=ew)
+                       b2_ref[0], None, None, dtype, ew=ew)
     co_ref[:] = co.astype(dtype)
 
 
@@ -637,15 +724,31 @@ def _dca_rows_call(x, c, params, scale_x, scale_c, num_heads, rows,
     gx = g
     gc = g if (_GROUP_ONLINE and g * n <= _MAX_BD_ROWS) else 1
     dummy = jnp.zeros((8, 128), x.dtype)
-    maskx = _bd_mask(m, gx, d, x.dtype) if gx > 1 else dummy
-    maskc = _bd_mask(n, gc, d, x.dtype) if gc > 1 else dummy
-    weights = [row(ln1s), row(ln1b), wqkv1, row(bqkv1), wqkv2, row(bqkv2),
-               wpx, row(bpx), wpc, row(bpc), row(ln2s), row(ln2b),
-               w1, row(b1), w2, row(b2), wcpe, bcpe, maskx, maskc]
+    # row-JOINT (see _rowjoint_mask): x<-meta keys are the m metas, so the
+    # bd expansion is cheap for any rows; meta<-x keys are the n image
+    # tokens — joint only while the expansion stays under the Mosaic row
+    # ceiling (the x-direction is the iteration-count win either way)
+    joint_x = _JOINT and _SHIFTLESS and rows > 1
+    joint_c = (_JOINT and _SHIFTLESS and rows > 1
+               and gc * rows * n <= _MAX_BD_ROWS)
+    maskx = (_bd_mask(rows * m if joint_x else m, gx, d, x.dtype)
+             if gx > 1 else dummy)
+    maskc = (_bd_mask(rows * n if joint_c else n, gc, d, x.dtype)
+             if gc > 1 else dummy)
+    jrowx = (_rowjoint_mask(rows, n, m, gx, x.dtype) if joint_x else dummy)
+    jrowc = (_rowjoint_mask(rows, m, n, gc, x.dtype) if joint_c else dummy)
+    wqkv1_f, bqkv1_f = _fold_ln(ln1s, ln1b, wqkv1, bqkv1)
+    wqkv2_f, bqkv2_f = _fold_ln(ln1s, ln1b, wqkv2, bqkv2)
+    w1_f, b1_f = _fold_ln(ln2s, ln2b, w1, b1)
+    weights = [wqkv1_f, row(bqkv1_f), wqkv2_f, row(bqkv2_f),
+               wpx, row(bpx), wpc, row(bpc),
+               w1_f, row(b1_f), w2, row(b2), wcpe, bcpe, maskx, maskc,
+               jrowx, jrowc]
     kernel = functools.partial(
         _dca_rows_kernel, scale_x=float(scale_x), scale_c=float(scale_c),
         num_heads=num_heads, head_dim=d, rows=rows, n=n, m=m, gx=gx, gc=gc,
-        use_cpe=cpe is not None, img_w=img_w or 1)
+        use_cpe=cpe is not None, img_w=img_w or 1,
+        joint_x=joint_x, joint_c=joint_c)
     # fold OUTSIDE the kernel: 2D (B*N, C) views blocked (rows*N, C)
     x2 = x.reshape(b * n, ch)
     c2 = c.reshape(b * m, ch)
@@ -708,9 +811,12 @@ def _dca_block_call(x, c, params, scale_x, scale_c, num_heads, cpe=None,
     dummy = jnp.zeros((8, 128), x.dtype)
     maskx = _bd_mask(m, gx, d, x.dtype) if gx > 1 else dummy
     maskc = _bd_mask(tile_n, gc, d, x.dtype) if gc > 1 else dummy
-    weights = [row(ln1s), row(ln1b), wqkv1, row(bqkv1), wqkv2, row(bqkv2),
-               wpx, row(bpx), wpc, row(bpc), row(ln2s), row(ln2b),
-               w1, row(b1), w2, row(b2), wcpe, bcpe, maskx, maskc]
+    wqkv1_f, bqkv1_f = _fold_ln(ln1s, ln1b, wqkv1, bqkv1)
+    wqkv2_f, bqkv2_f = _fold_ln(ln1s, ln1b, wqkv2, bqkv2)
+    w1_f, b1_f = _fold_ln(ln2s, ln2b, w1, b1)
+    weights = [wqkv1_f, row(bqkv1_f), wqkv2_f, row(bqkv2_f),
+               wpx, row(bpx), wpc, row(bpc),
+               w1_f, row(b1_f), w2, row(b2), wcpe, bcpe, maskx, maskc]
     kernel = functools.partial(
         _dca_block_kernel, scale_x=float(scale_x), scale_c=float(scale_c),
         n_tiles=n_tiles, num_heads=num_heads, head_dim=d,
@@ -767,8 +873,8 @@ def dca_block(x, c, params, *, num_heads: int, scale_x: float,
 
 
 def _c_block_kernel(x_ref, c_ref,
-                    ln1s_ref, ln1b_ref, wq_ref, bq_ref, wkv_ref, bkv_ref,
-                    wp_ref, bp_ref, ln2s_ref, ln2b_ref,
+                    wq_ref, bq_ref, wkv_ref, bkv_ref,
+                    wp_ref, bp_ref,
                     w1_ref, b1_ref, w2_ref, b2_ref,
                     wcpe_ref, bcpe_ref, maskc_ref,
                     co_ref,
@@ -781,11 +887,11 @@ def _c_block_kernel(x_ref, c_ref,
     dtype = x_ref.dtype
     ew = dtype if _EW else jnp.float32
     c_dim = x_ref.shape[-1]
-    ln1s, ln1b = ln1s_ref[0], ln1b_ref[0]
+    # LN affines pre-folded into wq/wkv/w1 (see _fold_ln)
 
     @pl.when(t == 0)
     def _():
-        ca = _ln(c_ref[0], ln1s, ln1b, ew=ew).astype(dtype)
+        ca = _ln(c_ref[0], None, None, ew=ew).astype(dtype)
         q = jax.lax.dot_general(ca, wq_ref[:], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         q_scr[:] = (q + bq_ref[0].astype(jnp.float32)).astype(dtype)
@@ -797,7 +903,7 @@ def _c_block_kernel(x_ref, c_ref,
     if use_cpe:
         xt = _cpe_flat(xt, wcpe_ref[:], bcpe_ref[0],
                        xt.shape[0] // img_w, img_w)
-    xa = _ln(xt, ln1s, ln1b, ew=ew).astype(dtype)
+    xa = _ln(xt, None, None, ew=ew).astype(dtype)
     kv = jax.lax.dot_general(xa, wkv_ref[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     kv = (kv + bkv_ref[0].astype(jnp.float32)).astype(dtype)
@@ -819,7 +925,7 @@ def _c_block_kernel(x_ref, c_ref,
         c1 = c_ref[0].astype(jnp.float32) + oc + bp_ref[0].astype(
             jnp.float32)
         co = _mlp_residual(c1.astype(dtype), w1_ref[:], b1_ref[0],
-                           w2_ref[:], b2_ref[0], ln2s_ref[0], ln2b_ref[0],
+                           w2_ref[:], b2_ref[0], None, None,
                            dtype, ew=ew)
         co_ref[0] = co.astype(dtype)
 
@@ -830,7 +936,10 @@ def _c_block_call(x, c, params, scale, num_heads, cpe=None, img_w=0):
     b, n, ch = x.shape
     m = c.shape[1]
     d = ch // num_heads
-    tile_n = _pick_tile(n, ch, 0)
+    # whole-row tiles when VMEM allows (the C kernel only holds x + kv on
+    # the image side, so 2*ch is the honest hidden width): enables fused
+    # CPE and collapses the grid to one step per image
+    tile_n = _pick_tile(n, ch, 2 * ch)
     n_tiles = pl.cdiv(n, tile_n)
     row = lambda t: t.reshape(1, -1)
     (ln1s, ln1b, wq, bq, wkv, bkv, wp, bp, ln2s, ln2b,
@@ -844,8 +953,11 @@ def _c_block_call(x, c, params, scale, num_heads, cpe=None, img_w=0):
     gc = g if (_GROUP_ONLINE and g * tile_n <= _MAX_BD_ROWS) else 1
     maskc = (_bd_mask(tile_n, gc, d, x.dtype) if gc > 1
              else jnp.zeros((8, 128), x.dtype))
-    weights = [row(ln1s), row(ln1b), wq, row(bq), wkv, row(bkv),
-               wp, row(bp), row(ln2s), row(ln2b), w1, row(b1), w2, row(b2),
+    wq_f, bq_f = _fold_ln(ln1s, ln1b, wq, bq)
+    wkv_f, bkv_f = _fold_ln(ln1s, ln1b, wkv, bkv)
+    w1_f, b1_f = _fold_ln(ln2s, ln2b, w1, b1)
+    weights = [wq_f, row(bq_f), wkv_f, row(bkv_f),
+               wp, row(bp), w1_f, row(b1_f), w2, row(b2),
                wcpe, bcpe, maskc]
     kernel = functools.partial(_c_block_kernel, scale=float(scale),
                                n_tiles=n_tiles, num_heads=num_heads,
@@ -883,7 +995,7 @@ def c_block(x, c, params, *, num_heads: int, cpe=None, img_w: int = 0
         return None
     b, n, ch = x.shape
     d = ch // num_heads
-    tile = _pick_tile(n, ch, 0)
+    tile = _pick_tile(n, ch, 2 * ch)
     if c.shape[1] % 8 != 0 or ch % num_heads != 0 or tile == 0:
         return None
     if cpe is not None and tile != n:

@@ -124,12 +124,16 @@ class LeMeBlock(nn.Module):
         b, h, w, ch = x.shape
         hw = (h, w)
         if self.attn_type in ("D", "D2"):
-            # CPE outside the kernel: XLA's dwconv beats the in-kernel
-            # masked-shift variant ~2x (A/B'd on v5e; the kernels still
-            # support cpe= for future tuning)
-            x = self._cpe(x)
+            # CPE fuses into the kernel when possible (PB_D_CPE=0 reverts
+            # to the external XLA dwconv; the old 2x A/B loss was fixed by
+            # the separable-accumulation _cpe_flat)
             fused = self._try_fused_dca(x.reshape(b, h * w, ch), c,
-                                        deterministic, w)
+                                        deterministic, w, with_cpe=True)
+            if fused is None:
+                x = self._cpe(x)
+                fused = self._try_fused_dca(x.reshape(b, h * w, ch), c,
+                                            deterministic, w,
+                                            with_cpe=False)
             if fused is not None:
                 x, c = fused[0].reshape(b, h, w, ch), fused[1]
             else:
@@ -143,9 +147,16 @@ class LeMeBlock(nn.Module):
                 x = x.reshape(b, h, w, ch)
         elif self.attn_type == "C":
             # x passes through unchanged (ref :584-613: x restored after CPE);
-            # CPE-shifted tokens feed the attention's k/v only.
+            # CPE-shifted tokens feed the attention's k/v only. CPE fuses
+            # in-kernel when possible (PB_C_CPE=0 forces external dwconv).
+            c_fused = self._try_fused_c(x.reshape(b, h * w, ch), c,
+                                        deterministic, w, with_cpe=True)
+            if c_fused is not None:
+                c = c_fused
+                return x, c
             xt = self._cpe(x).reshape(b, h * w, ch)
-            c_fused = self._try_fused_c(xt, c, deterministic, w)
+            c_fused = self._try_fused_c(xt, c, deterministic, w,
+                                        with_cpe=False)
             if c_fused is not None:
                 c = c_fused
             else:
@@ -196,16 +207,24 @@ class LeMeBlock(nn.Module):
                 and not self.mlp_dwconv and not self.is_initializing()
                 and _use_pallas(self.attn_backend))
 
-    def _try_fused_dca(self, x, c, deterministic, img_w):
-        """Whole-block fused D-type kernel (inference); x is PRE-CPE."""
+    def _try_fused_dca(self, x, c, deterministic, img_w, with_cpe=False):
+        """Whole-block fused D-type kernel (inference). With ``with_cpe``
+        x must be PRE-CPE and the 3x3 position embedding runs in-kernel
+        (PB_D_CPE=0 forces the external-dwconv path)."""
         if self.attn_type != "D" or not self._fusable(deterministic):
             return None
+        import os
         from lemevit_tpu.attn import pallas_block
         from lemevit_tpu.attn import reference as aref
         try:
             v = self.variables["params"]
             dt = self.dtype
-            cpe = None  # external CPE (XLA dwconv faster than in-kernel)
+            if with_cpe:
+                if os.environ.get("PB_D_CPE", "1") == "0":
+                    return None
+                cpe = self._cpe_weights(v)  # LookupError -> fallback
+            else:
+                cpe = None
             scale_x, scale_c = aref.dca_scales(x.shape[1], c.shape[1],
                                                x.shape[2])
             params = (
@@ -230,16 +249,28 @@ class LeMeBlock(nn.Module):
         except (KeyError, TypeError, LookupError):
             return None
 
-    def _try_fused_c(self, xt, c, deterministic, img_w):
-        """Fused C-type kernel: x streams HBM once and is never written;
-        xt is PRE-CPE."""
+    def _try_fused_c(self, xt, c, deterministic, img_w, with_cpe=False):
+        """Fused C-type kernel: x streams HBM once and is never written.
+        With ``with_cpe`` xt must be PRE-CPE and the 3x3 position
+        embedding runs in-kernel on the k/v side only (PB_C_CPE=0 forces
+        the external-dwconv path)."""
         if self.attn_type != "C" or not self._fusable(deterministic):
             return None
+        import os
         from lemevit_tpu.attn import pallas_block
         try:
             v = self.variables["params"]
             dt = self.dtype
-            cpe = None  # external CPE (XLA dwconv faster than in-kernel)
+            if with_cpe:
+                # default OFF: for the C block the external dwconv wins
+                # (2946 vs 2918 img/s on base/v5e) — the kernel only reads
+                # x for k/v, so in-kernel CPE adds VPU passes to every
+                # step without saving a round-trip of the x OUTPUT
+                if os.environ.get("PB_C_CPE", "0") == "0":
+                    return None
+                cpe = self._cpe_weights(v)  # LookupError -> fallback
+            else:
+                cpe = None
             params = (
                 v["norm1"]["scale"], v["norm1"]["bias"],
                 v["attn"]["q"]["kernel"].astype(dt),
