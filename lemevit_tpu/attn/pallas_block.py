@@ -356,6 +356,9 @@ def _online_attn(q, k, v, scale, num_heads, head_dim, m_scr, l_scr, acc_scr,
 
 
 def _mlp_residual(t, w1, b1, w2, b2, ln_s, ln_b, dtype, ew=jnp.float32):
+    # t arrives as the fp32 attention-residual sum (callers skip the
+    # bf16 round-trip: _ln's fp32 cast and the final residual add are
+    # then cast-free; only the LN output is cast down for the MXU dot).
     # bf16-stored activations take the short erf poly: its error is ~12x
     # below the bf16 ulp, so the store quantization hides it entirely
     fast = dtype == jnp.bfloat16
@@ -421,7 +424,7 @@ def _s_block_kernel(x_ref, c_ref,
         o = jax.lax.dot_general(o, wp, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         t1 = t.astype(jnp.float32) + o + bp.astype(jnp.float32)
-        out = _mlp_residual(t1.astype(dtype), w1, b1, w2, b2, None, None,
+        out = _mlp_residual(t1, w1, b1, w2, b2, None, None,
                             dtype, ew=ew)
         return out.astype(dtype)
 
@@ -585,7 +588,7 @@ def _dca_block_kernel(x_ref, c_ref,
     o = jax.lax.dot_general(attn_x, wpx_ref[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     x1 = xt.astype(jnp.float32) + o + bpx_ref[0].astype(jnp.float32)
-    xo_ref[0] = _mlp_residual(x1.astype(dtype), w1_ref[:], b1_ref[0],
+    xo_ref[0] = _mlp_residual(x1, w1_ref[:], b1_ref[0],
                               w2_ref[:], b2_ref[0], None, None,
                               dtype, ew=ew).astype(dtype)
 
@@ -597,7 +600,7 @@ def _dca_block_kernel(x_ref, c_ref,
             preferred_element_type=jnp.float32)
         c1 = c_ref[0].astype(jnp.float32) + oc + bpc_ref[0].astype(
             jnp.float32)
-        co = _mlp_residual(c1.astype(dtype), w1_ref[:], b1_ref[0],
+        co = _mlp_residual(c1, w1_ref[:], b1_ref[0],
                            w2_ref[:], b2_ref[0], None, None, dtype, ew=ew)
         co_ref[0] = co.astype(dtype)
 
@@ -680,14 +683,14 @@ def _dca_rows_kernel(x_ref, c_ref,
     ox = jax.lax.dot_general(ax, wpx_ref[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     x1 = xflat.astype(jnp.float32) + ox + bpx_ref[0].astype(jnp.float32)
-    xo = _mlp_residual(x1.astype(dtype), w1_ref[:], b1_ref[0], w2_ref[:],
+    xo = _mlp_residual(x1, w1_ref[:], b1_ref[0], w2_ref[:],
                        b2_ref[0], None, None, dtype, ew=ew)
     xo_ref[:] = xo.astype(dtype)
 
     oc = jax.lax.dot_general(ac, wpc_ref[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     c1 = cflat.astype(jnp.float32) + oc + bpc_ref[0].astype(jnp.float32)
-    co = _mlp_residual(c1.astype(dtype), w1_ref[:], b1_ref[0], w2_ref[:],
+    co = _mlp_residual(c1, w1_ref[:], b1_ref[0], w2_ref[:],
                        b2_ref[0], None, None, dtype, ew=ew)
     co_ref[:] = co.astype(dtype)
 
@@ -924,7 +927,7 @@ def _c_block_kernel(x_ref, c_ref,
             preferred_element_type=jnp.float32)
         c1 = c_ref[0].astype(jnp.float32) + oc + bp_ref[0].astype(
             jnp.float32)
-        co = _mlp_residual(c1.astype(dtype), w1_ref[:], b1_ref[0],
+        co = _mlp_residual(c1, w1_ref[:], b1_ref[0],
                            w2_ref[:], b2_ref[0], None, None,
                            dtype, ew=ew)
         co_ref[0] = co.astype(dtype)
