@@ -1,0 +1,1007 @@
+"""Fused LeMeBlock TRAINING kernels (forward + backward).
+
+The inference kernels in pallas_block.py are deterministic-only; training
+fell back to the unfused XLA composition, whose backward re-reads the
+(B,N,C) activations ~16x per block and (with stage remat) re-runs the
+forward — measured 4.2x the forward cost on v5e. These kernels close the
+gap the TPU way:
+
+- forward: the same whole-block fused layout as inference, plus exact
+  per-sample DropPath via branch-scale columns (timm semantics: the
+  residual branch output, including the projection bias, is scaled by
+  keep_mask / keep_prob per sample — ref models/lemevit.py:615-650 with
+  timm DropPath). The forward ALSO writes t1 (the post-attention
+  residual) per branch: backward then never re-runs attention to reach
+  the MLP — one extra (N, C) HBM stream per branch buys a backward that
+  fits VMEM.
+- backward: TWO lean Pallas kernels per block (a fused single-kernel
+  backward was measured at 31MB of scoped VMEM vs the 16MB/core budget —
+  weights + recompute transients + double-buffered outputs don't coexist):
+    B1 `_mlp_bwd`: t1 + upstream grad -> dt1, recomputing only the MLP
+       (shared by the S and D blocks — the MLP is weight-shared across
+       both token streams in the architecture).
+    B2 `_s/_dca_attn_bwd`: block inputs + dt1 -> dx, dc, recomputing
+       LN/qkv/attention in VMEM.
+  Weight grads are NOT accumulated in VMEM (fp32 accumulators next to
+  the recompute transients blow the budget); the kernels dump the small
+  (activation, grad) pairs — a, dqkv, o_att, do, m, dz — and XLA
+  contracts them outside (einsum, fp32 accumulation). The hidden-width
+  pair (gelu output, d-hidden) is recomputed in XLA from m and dz
+  rather than dumped: two efficient einsums versus ~6MB of kernel
+  output buffering.
+
+custom_vjp boundary: the kernels take LN-FOLDED weights (pallas_block.
+_fold_ln); the fold runs OUTSIDE the boundary so XLA autodiff chains the
+LN scale/bias grads through it for free. Same for the 3x3 CPE taps: the
+data-grad transpose runs in-kernel (flipped taps), the tap grads via an
+XLA window-product on the dumped pre-transpose grad.
+
+DropPath scale grads are returned as zeros: the scales derive from
+Bernoulli masks and are never differentiated.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from lemevit_tpu.attn.pallas_block import (
+    HAS_PLTPU, _MAX_N_SBLOCK, _POS_CLIP, _bd_mask, _bd_tile, _cpe_flat,
+    _gelu, _ln, _pick_group, _ERF_TANH_P,
+)
+from lemevit_tpu.attn import pallas_block as _pb
+
+if HAS_PLTPU:
+    from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-6
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT2PI = 0.3989422804014327
+
+
+def _ln_bwd(dm, t):
+    """Backward of the scale/bias-free LayerNorm: dm is the fp32 grad
+    w.r.t. t_hat = (t - mu) / sigma; stats recomputed from t (fp32)."""
+    t32 = t.astype(jnp.float32)
+    mu = jnp.mean(t32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(t32 - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + _EPS)
+    th = (t32 - mu) * inv
+    mdm = jnp.mean(dm, axis=-1, keepdims=True)
+    mdt = jnp.mean(dm * th, axis=-1, keepdims=True)
+    return inv * (dm - mdm - th * mdt)
+
+
+def _gelu_grad(y, fast):
+    """d gelu / dy in fp32. fast=True differentiates the tanh-erf form the
+    bf16 forward actually computes; fast=False uses the analytic exact
+    form (matches the erf-poly forward to ~1e-5)."""
+    y32 = y.astype(jnp.float32)
+    if fast:
+        p1, p3, p5 = (jnp.float32(v) for v in _ERF_TANH_P)
+        tt_raw = y32 * jnp.float32(_INV_SQRT2)
+        tt = jnp.clip(tt_raw, -6.0, 6.0)
+        u = tt * tt
+        e = jnp.tanh(tt * (p1 + u * (p3 + u * p5)))
+        inner = (p1 + u * (3.0 * p3 + u * (5.0 * p5)))
+        dtt = jnp.where(jnp.abs(tt_raw) < 6.0, jnp.float32(_INV_SQRT2), 0.0)
+        return 0.5 * (1.0 + e) + 0.5 * y32 * (1.0 - e * e) * inner * dtt
+    erf = _pb._erf(y32 * jnp.float32(_INV_SQRT2))
+    return (0.5 * (1.0 + erf)
+            + y32 * jnp.exp(-0.5 * y32 * y32) * jnp.float32(_INV_SQRT2PI))
+
+
+def _dp_cols(dp_ref, idx, rows, seq):
+    """Expand per-image DropPath scales to an (rows*seq, 1) fp32 column
+    (image r of this grid step occupies flat rows [r*seq, (r+1)*seq)).
+    dp_ref is the WHOLE (4, B) table in SMEM; the image index is
+    program_id(0)*rows + r (scalar SMEM loads support dynamic indices)."""
+    pid = pl.program_id(0)
+    rid = jax.lax.broadcasted_iota(jnp.int32, (rows * seq, 1), 0) // seq
+    acc = jnp.zeros((rows * seq, 1), jnp.float32)
+    for r in range(rows):
+        acc = acc + jnp.where(rid == r, dp_ref[idx, pid * rows + r], 0.0)
+    return acc
+
+
+def _attn_fwd_group(q, k, v, scale, head_dim, mask):
+    """One head-group attention on a single image: returns (o, p, lb).
+    q (S_q, g*d), k/v (S_k, g*d); mask (g*S_k, g*d) or None (g == 1)."""
+    g = 1 if mask is None else mask.shape[1] // head_dim
+    if g == 1:
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(jnp.minimum(s, _POS_CLIP))
+        lb = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) / lb
+        return o, p, lb
+    kbd = _bd_tile(k, g, mask)
+    vbd = _bd_tile(v, g, mask)
+    s = jax.lax.dot_general(q, kbd, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(jnp.minimum(s, _POS_CLIP))
+    pv = p.astype(v.dtype)
+    lb = jax.lax.dot_general(pv, mask, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    o = jax.lax.dot_general(pv, vbd, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) / lb
+    return o, p, lb
+
+
+def _attn_bwd_group(do, q, k, v, p, lb, scale, head_dim, mask):
+    """Backward of _attn_fwd_group: do (S_q, g*d) fp32 -> dq, dk, dv
+    (fp32, compact (S, g*d) layouts)."""
+    g = 1 if mask is None else mask.shape[1] // head_dim
+    dt = v.dtype
+    if g == 1:
+        o = jax.lax.dot_general(p.astype(dt), v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) / lb
+        dnum = do / lb
+        dp_ = jax.lax.dot_general(dnum.astype(dt), v,
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dlb = -jnp.sum(do * o, axis=1, keepdims=True) / lb
+        dp_ = dp_ + dlb  # broadcast over keys
+        dsv = (dp_ * p * scale).astype(dt)
+        dq = jax.lax.dot_general(dsv, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(dsv, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(p.astype(dt), dnum.astype(dt),
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return dq, dk, dv
+    kbd = _bd_tile(k, g, mask)
+    vbd = _bd_tile(v, g, mask)
+    pv = p.astype(dt)
+    o = jax.lax.dot_general(pv, vbd, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) / lb
+    dnum = (do / lb).astype(dt)
+    # dlb replicated per head block -> redistribute to key copies via mask^T
+    dlb = ((-do * o) / lb).astype(dt)
+    dp_ = jax.lax.dot_general(dnum, vbd, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32) \
+        + jax.lax.dot_general(dlb, mask, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    ds = (dp_ * p * scale).astype(dt)
+    dq = jax.lax.dot_general(ds, kbd, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dkbd = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dvbd = jax.lax.dot_general(pv, dnum, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    # fold the g block-diagonal copies back to the compact (S, g*d) layout
+    skeys = k.shape[0]
+    m32 = mask.astype(jnp.float32)
+    dk = sum((dkbd * m32)[j * skeys:(j + 1) * skeys] for j in range(g))
+    dv = sum((dvbd * m32)[j * skeys:(j + 1) * skeys] for j in range(g))
+    return dq, dk, dv
+
+
+def _pick_rows_train(b, n, ch, hidden, m=16, bwd=False):
+    """Batch rows per grid step. Mosaic requires the block's sublane dim
+    (rows*n and rows*m) divisible by 8, so alignment can force a larger
+    fold than the VMEM budget prefers. Returns 0 when no aligned fold
+    divides the batch."""
+    per_row = (6 if not bwd else 10) * n * max(hidden, 3 * ch) * 2
+    budget = int(os.environ.get("PB_TRAIN_VMEM_MB", "8")) * 1024 * 1024
+    ok = lambda r: (b % r == 0 and (r * n) % 8 == 0 and (r * m) % 8 == 0)
+    for r in (16, 8, 4, 2, 1):
+        if ok(r) and per_row * r < budget:
+            return r
+    for r in (1, 2, 4, 8, 16):  # alignment-forced minimum
+        if ok(r):
+            return r
+    return 0
+
+
+def _wspec(shapes):
+    return [pl.BlockSpec(s, lambda bi, s_=s: tuple([0] * len(s_)),
+                         memory_space=pltpu.VMEM) for s in shapes]
+
+
+def _row(t):
+    return t.reshape(1, -1)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernels (S and D) — also emit t1 per branch for the backward
+# ---------------------------------------------------------------------------
+
+def _attn_dir(q, k, v, rows, sq, sk, scale, num_heads, head_dim, g, mask,
+              dtype):
+    """Per-(row, head-group) loop attention: q (rows*sq, C) x k/v
+    (rows*sk, C) -> (rows*sq, C)."""
+    outs = []
+    for r in range(rows):
+        qs = slice(r * sq, (r + 1) * sq)
+        ks = slice(r * sk, (r + 1) * sk)
+        row_outs = []
+        for h0 in range(0, num_heads, g):
+            gs = slice(h0 * head_dim, (h0 + g) * head_dim)
+            o, _, _ = _attn_fwd_group(q[qs, gs], k[ks, gs], v[ks, gs],
+                                      scale, head_dim, mask)
+            row_outs.append(o)
+        outs.append(jnp.concatenate(row_outs, axis=1)
+                    if len(row_outs) > 1 else row_outs[0])
+    return (jnp.concatenate(outs, axis=0) if rows > 1
+            else outs[0]).astype(dtype)
+
+
+def _mlp_fwd(t1, s2, w1, b1, w2, b2, dtype):
+    mm = _ln(t1, None, None).astype(dtype)
+    y = jax.lax.dot_general(mm, w1, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = y + b1.astype(jnp.float32)
+    gg = _gelu(y, fast=dtype == jnp.bfloat16).astype(dtype)
+    z = jax.lax.dot_general(gg, w2, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return t1 + s2 * (z + b2.astype(jnp.float32))
+
+
+def _s_train_fwd_kernel(x_ref, c_ref, dp_ref,
+                        wqkv_ref, bqkv_ref, wp_ref, bp_ref,
+                        w1_ref, b1_ref, w2_ref, b2_ref,
+                        wcpe_ref, bcpe_ref, maskx_ref, maskc_ref,
+                        xo_ref, co_ref, t1x_ref, t1c_ref, *,
+                        scale, num_heads, head_dim, rows, n, m,
+                        use_cpe, img_w, g):
+    dtype = x_ref.dtype
+
+    def branch(t, seq, mask_ref, s1, s2, out_ref, t1_ref):
+        mask = mask_ref[:] if g > 1 else None
+        a = _ln(t, None, None).astype(dtype)
+        qkv = jax.lax.dot_general(a, wqkv_ref[:], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(dtype)
+        c_dim = t.shape[-1]
+        o_att = _attn_dir(qkv[:, :c_dim], qkv[:, c_dim:2 * c_dim],
+                          qkv[:, 2 * c_dim:], rows, seq, seq, scale,
+                          num_heads, head_dim, g, mask, dtype)
+        o = jax.lax.dot_general(o_att, wp_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        t1 = t.astype(jnp.float32) + s1 * (o + bp_ref[0].astype(
+            jnp.float32))
+        t1_ref[:] = t1.astype(dtype)
+        out = _mlp_fwd(t1, s2, w1_ref[:], b1_ref[0], w2_ref[:], b2_ref[0],
+                       dtype)
+        out_ref[:] = out.astype(dtype)
+
+    xflat = x_ref[:]
+    if use_cpe:
+        xflat = _cpe_flat(xflat, wcpe_ref[:], bcpe_ref[0],
+                          n // img_w, img_w)
+    branch(xflat, n, maskx_ref, _dp_cols(dp_ref, 0, rows, n),
+           _dp_cols(dp_ref, 1, rows, n), xo_ref, t1x_ref)
+    branch(c_ref[:], m, maskc_ref, _dp_cols(dp_ref, 2, rows, m),
+           _dp_cols(dp_ref, 3, rows, m), co_ref, t1c_ref)
+
+
+def _dca_train_fwd_kernel(x_ref, c_ref, dp_ref,
+                          wqkv1_ref, bqkv1_ref, wqkv2_ref, bqkv2_ref,
+                          wpx_ref, bpx_ref, wpc_ref, bpc_ref,
+                          w1_ref, b1_ref, w2_ref, b2_ref,
+                          wcpe_ref, bcpe_ref, maskx_ref, maskc_ref,
+                          xo_ref, co_ref, t1x_ref, t1c_ref, *,
+                          scale_x, scale_c, num_heads, head_dim, rows,
+                          n, m, use_cpe, img_w, gx, gc):
+    dtype = x_ref.dtype
+    c_dim = x_ref.shape[-1]
+    xflat = x_ref[:]
+    if use_cpe:
+        xflat = _cpe_flat(xflat, wcpe_ref[:], bcpe_ref[0],
+                          n // img_w, img_w)
+    cflat = c_ref[:]
+    xa = _ln(xflat, None, None).astype(dtype)
+    ca = _ln(cflat, None, None).astype(dtype)
+    qkv1 = jax.lax.dot_general(xa, wqkv1_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    qkv1 = (qkv1 + bqkv1_ref[0].astype(jnp.float32)).astype(dtype)
+    qkv2 = jax.lax.dot_general(ca, wqkv2_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    qkv2 = (qkv2 + bqkv2_ref[0].astype(jnp.float32)).astype(dtype)
+    oatt_x = _attn_dir(qkv1[:, :c_dim], qkv2[:, c_dim:2 * c_dim],
+                       qkv2[:, 2 * c_dim:], rows, n, m, scale_x,
+                       num_heads, head_dim, gx,
+                       maskx_ref[:] if gx > 1 else None, dtype)
+    oatt_c = _attn_dir(qkv2[:, :c_dim], qkv1[:, c_dim:2 * c_dim],
+                       qkv1[:, 2 * c_dim:], rows, m, n, scale_c,
+                       num_heads, head_dim, gc,
+                       maskc_ref[:] if gc > 1 else None, dtype)
+    ox = jax.lax.dot_general(oatt_x, wpx_ref[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    oc = jax.lax.dot_general(oatt_c, wpc_ref[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    t1x = xflat.astype(jnp.float32) + _dp_cols(dp_ref, 0, rows, n) * (
+        ox + bpx_ref[0].astype(jnp.float32))
+    t1c = cflat.astype(jnp.float32) + _dp_cols(dp_ref, 2, rows, m) * (
+        oc + bpc_ref[0].astype(jnp.float32))
+    t1x_ref[:] = t1x.astype(dtype)
+    t1c_ref[:] = t1c.astype(dtype)
+    xo_ref[:] = _mlp_fwd(t1x, _dp_cols(dp_ref, 1, rows, n), w1_ref[:],
+                         b1_ref[0], w2_ref[:], b2_ref[0],
+                         dtype).astype(dtype)
+    co_ref[:] = _mlp_fwd(t1c, _dp_cols(dp_ref, 3, rows, m), w1_ref[:],
+                         b1_ref[0], w2_ref[:], b2_ref[0],
+                         dtype).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# B1: shared MLP backward kernel (identical for S and D blocks)
+# ---------------------------------------------------------------------------
+
+def _mlp_bwd_kernel(t1x_ref, t1c_ref, dxo_ref, dco_ref, dp_ref,
+                    w1_ref, b1_ref, w2_ref,
+                    dt1x_ref, dt1c_ref, mx_ref, dzx_ref, mc_ref, dzc_ref,
+                    *, rows, n, m):
+    dtype = t1x_ref.dtype
+    fast = dtype == jnp.bfloat16
+
+    def branch(t1_ref_in, dout_ref, s2, dt1_ref, m_ref, dz_ref):
+        t1 = t1_ref_in[:]
+        dout = dout_ref[:].astype(jnp.float32)
+        dz = s2 * dout
+        dzv = dz.astype(dtype)
+        mm = _ln(t1, None, None).astype(dtype)
+        y = jax.lax.dot_general(mm, w1_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        y = y + b1_ref[0].astype(jnp.float32)
+        dgg = jax.lax.dot_general(dzv, w2_ref[:], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dy = (dgg * _gelu_grad(y, fast)).astype(dtype)
+        dmm = jax.lax.dot_general(dy, w1_ref[:], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dt1 = dout + _ln_bwd(dmm, t1)
+        dt1_ref[:] = dt1.astype(dtype)
+        m_ref[:] = mm
+        dz_ref[:] = dzv
+
+    branch(t1x_ref, dxo_ref, _dp_cols(dp_ref, 1, rows, n),
+           dt1x_ref, mx_ref, dzx_ref)
+    branch(t1c_ref, dco_ref, _dp_cols(dp_ref, 3, rows, m),
+           dt1c_ref, mc_ref, dzc_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("rows",))
+def _mlp_bwd_call(t1x, t1c, dxo, dco, dparr, w1, b1, w2, rows):
+    bn, ch = t1x.shape
+    bm = t1c.shape[0]
+    b_imgs = dparr.shape[1]
+    n = bn // b_imgs
+    m = bm // b_imgs
+    weights = [w1, _row(b1), w2]
+    kernel = functools.partial(_mlp_bwd_kernel, rows=rows, n=n, m=m)
+    x_spec = pl.BlockSpec((rows * n, ch), lambda bi: (bi, 0),
+                          memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((rows * m, ch), lambda bi: (bi, 0),
+                          memory_space=pltpu.VMEM)
+    dp_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    sd = lambda r_, c_: jax.ShapeDtypeStruct((r_, c_), t1x.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(b_imgs // rows,),
+        in_specs=[x_spec, c_spec, x_spec, c_spec, dp_spec]
+        + _wspec([w.shape for w in weights]),
+        out_specs=[x_spec, c_spec, x_spec, x_spec, c_spec, c_spec],
+        out_shape=[sd(bn, ch), sd(bm, ch), sd(bn, ch), sd(bn, ch),
+                   sd(bm, ch), sd(bm, ch)],
+        interpret=_pb._INTERPRET,
+    )(t1x, t1c, dxo, dco, dparr, *weights)
+
+
+# ---------------------------------------------------------------------------
+# B2: attention backward kernels
+# ---------------------------------------------------------------------------
+
+def _attn_dir_bwd(doatt, q, k, v, rows, sq, sk, scale, num_heads,
+                  head_dim, g, mask, dtype):
+    """Backward of _attn_dir: recomputes p/lb per (row, group) and
+    assembles compact dq (rows*sq, C), dk/dv (rows*sk, C)."""
+    dq_rows, dk_rows, dv_rows = [], [], []
+    for r in range(rows):
+        qs = slice(r * sq, (r + 1) * sq)
+        ks = slice(r * sk, (r + 1) * sk)
+        dq_gs, dk_gs, dv_gs = [], [], []
+        for h0 in range(0, num_heads, g):
+            gs = slice(h0 * head_dim, (h0 + g) * head_dim)
+            _, p, lb = _attn_fwd_group(q[qs, gs], k[ks, gs], v[ks, gs],
+                                       scale, head_dim, mask)
+            dqg, dkg, dvg = _attn_bwd_group(
+                doatt[qs, gs], q[qs, gs], k[ks, gs], v[ks, gs], p, lb,
+                scale, head_dim, mask)
+            dq_gs.append(dqg)
+            dk_gs.append(dkg)
+            dv_gs.append(dvg)
+        cat = lambda xs: (jnp.concatenate(xs, axis=1) if len(xs) > 1
+                          else xs[0])
+        dq_rows.append(cat(dq_gs))
+        dk_rows.append(cat(dk_gs))
+        dv_rows.append(cat(dv_gs))
+    catr = lambda xs: (jnp.concatenate(xs, axis=0) if len(xs) > 1
+                       else xs[0])
+    return (catr(dq_rows).astype(dtype), catr(dk_rows).astype(dtype),
+            catr(dv_rows).astype(dtype))
+
+
+def _s_attn_bwd_kernel(x_ref, c_ref, dp_ref,
+                       wqkv_ref, bqkv_ref, wp_ref,
+                       wcpe_ref, bcpe_ref, wcpet_ref,
+                       maskx_ref, maskc_ref,
+                       dt1x_ref, dt1c_ref,
+                       dx_ref, dc_ref, dtu_ref,
+                       dqkvx_ref, oattx_ref, dox_ref,
+                       dqkvc_ref, oattc_ref, doc_ref, *,
+                       scale, num_heads, head_dim, rows, n, m,
+                       use_cpe, img_w, g):
+    dtype = x_ref.dtype
+
+    def branch(t, seq, mask_ref, s1, dt1_ref, refs):
+        dqkv_ref, oatt_ref, do_ref = refs
+        mask = mask_ref[:] if g > 1 else None
+        a = _ln(t, None, None).astype(dtype)
+        qkv = jax.lax.dot_general(a, wqkv_ref[:], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(dtype)
+        c_dim = t.shape[-1]
+        q = qkv[:, :c_dim]
+        k = qkv[:, c_dim:2 * c_dim]
+        v = qkv[:, 2 * c_dim:]
+        o_att = _attn_dir(q, k, v, rows, seq, seq, scale, num_heads,
+                          head_dim, g, mask, dtype)
+        dt1 = dt1_ref[:].astype(jnp.float32)
+        do = (s1 * dt1).astype(dtype)
+        doatt = jax.lax.dot_general(do, wp_ref[:], (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        dq, dk, dv = _attn_dir_bwd(doatt, q, k, v, rows, seq, seq, scale,
+                                   num_heads, head_dim, g, mask, dtype)
+        dqkv = jnp.concatenate([dq, dk, dv], axis=1)
+        da = jax.lax.dot_general(dqkv, wqkv_ref[:],
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dt = dt1 + _ln_bwd(da, t)
+        # `a` is NOT dumped: the dWqkv einsum recomputes norm(cpe(x)) in
+        # XLA (2 cheap fused passes) — saves ~1MB of double-buffered
+        # kernel output, the margin stage4 needs to fit the 16MB VMEM
+        dqkv_ref[:] = dqkv
+        oatt_ref[:] = o_att
+        do_ref[:] = do
+        return dt
+
+    xflat = x_ref[:]
+    if use_cpe:
+        xflat = _cpe_flat(xflat, wcpe_ref[:], bcpe_ref[0],
+                          n // img_w, img_w)
+    dtx = branch(xflat, n, maskx_ref, _dp_cols(dp_ref, 0, rows, n),
+                 dt1x_ref, (dqkvx_ref, oattx_ref, dox_ref))
+    dtu_ref[:] = dtx.astype(dtype)
+    if use_cpe:
+        dx_ref[:] = _cpe_flat(dtx.astype(dtype), wcpet_ref[:],
+                              jnp.zeros_like(bcpe_ref)[0],
+                              n // img_w, img_w).astype(dtype)
+    else:
+        dx_ref[:] = dtx.astype(dtype)
+    dtc = branch(c_ref[:], m, maskc_ref, _dp_cols(dp_ref, 2, rows, m),
+                 dt1c_ref, (dqkvc_ref, oattc_ref, doc_ref))
+    dc_ref[:] = dtc.astype(dtype)
+
+
+def _dca_attn_bwd_kernel(x_ref, c_ref, dp_ref,
+                         wqkv1_ref, bqkv1_ref, wqkv2_ref, bqkv2_ref,
+                         wpx_ref, wpc_ref,
+                         wcpe_ref, bcpe_ref, wcpet_ref,
+                         maskx_ref, maskc_ref,
+                         dt1x_ref, dt1c_ref,
+                         dx_ref, dc_ref, dtu_ref,
+                         dqkv1_ref, oattx_ref, dox_ref,
+                         dqkv2_ref, oattc_ref, doc_ref, *,
+                         scale_x, scale_c, num_heads, head_dim, rows,
+                         n, m, use_cpe, img_w, gx, gc):
+    dtype = x_ref.dtype
+    c_dim = x_ref.shape[-1]
+    maskx = maskx_ref[:] if gx > 1 else None
+    maskc = maskc_ref[:] if gc > 1 else None
+    xflat = x_ref[:]
+    if use_cpe:
+        xflat = _cpe_flat(xflat, wcpe_ref[:], bcpe_ref[0],
+                          n // img_w, img_w)
+    cflat = c_ref[:]
+    xa = _ln(xflat, None, None).astype(dtype)
+    ca = _ln(cflat, None, None).astype(dtype)
+    qkv1 = jax.lax.dot_general(xa, wqkv1_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    qkv1 = (qkv1 + bqkv1_ref[0].astype(jnp.float32)).astype(dtype)
+    qkv2 = jax.lax.dot_general(ca, wqkv2_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    qkv2 = (qkv2 + bqkv2_ref[0].astype(jnp.float32)).astype(dtype)
+    q1, k1, v1 = (qkv1[:, :c_dim], qkv1[:, c_dim:2 * c_dim],
+                  qkv1[:, 2 * c_dim:])
+    q2, k2, v2 = (qkv2[:, :c_dim], qkv2[:, c_dim:2 * c_dim],
+                  qkv2[:, 2 * c_dim:])
+    oatt_x = _attn_dir(q1, k2, v2, rows, n, m, scale_x, num_heads,
+                       head_dim, gx, maskx, dtype)
+    oatt_c = _attn_dir(q2, k1, v1, rows, m, n, scale_c, num_heads,
+                       head_dim, gc, maskc, dtype)
+    dt1x = dt1x_ref[:].astype(jnp.float32)
+    dt1c = dt1c_ref[:].astype(jnp.float32)
+    dox = (_dp_cols(dp_ref, 0, rows, n) * dt1x).astype(dtype)
+    doc = (_dp_cols(dp_ref, 2, rows, m) * dt1c).astype(dtype)
+    doattx = jax.lax.dot_general(dox, wpx_ref[:], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    doattc = jax.lax.dot_general(doc, wpc_ref[:], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    dq1, dk2, dv2 = _attn_dir_bwd(doattx, q1, k2, v2, rows, n, m,
+                                  scale_x, num_heads, head_dim, gx,
+                                  maskx, dtype)
+    dq2, dk1, dv1 = _attn_dir_bwd(doattc, q2, k1, v1, rows, m, n,
+                                  scale_c, num_heads, head_dim, gc,
+                                  maskc, dtype)
+    dqkv1 = jnp.concatenate([dq1, dk1, dv1], axis=1)
+    dqkv2 = jnp.concatenate([dq2, dk2, dv2], axis=1)
+    da_x = jax.lax.dot_general(dqkv1, wqkv1_ref[:],
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    da_c = jax.lax.dot_general(dqkv2, wqkv2_ref[:],
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dtx = dt1x + _ln_bwd(da_x, xflat)
+    dtc = dt1c + _ln_bwd(da_c, cflat)
+    dtu_ref[:] = dtx.astype(dtype)
+    if use_cpe:
+        dx_ref[:] = _cpe_flat(dtx.astype(dtype), wcpet_ref[:],
+                              jnp.zeros_like(bcpe_ref)[0],
+                              n // img_w, img_w).astype(dtype)
+    else:
+        dx_ref[:] = dtx.astype(dtype)
+    dc_ref[:] = dtc.astype(dtype)
+    # `xa`/`ca` are NOT dumped (recomputed in XLA for the dWqkv einsums)
+    for ref, val in zip((dqkv1_ref, oattx_ref, dox_ref,
+                         dqkv2_ref, oattc_ref, doc_ref),
+                        (dqkv1, oatt_x, dox, dqkv2, oatt_c, doc)):
+        ref[:] = val.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Host-side orchestration (jitted wrappers + custom_vjp)
+# ---------------------------------------------------------------------------
+
+def _fwd_specs(b, n, m, ch, rows, weights):
+    x_spec = pl.BlockSpec((rows * n, ch), lambda bi: (bi, 0),
+                          memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((rows * m, ch), lambda bi: (bi, 0),
+                          memory_space=pltpu.VMEM)
+    dp_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    w_specs = _wspec([w.shape for w in weights])
+    return x_spec, c_spec, dp_spec, w_specs
+
+
+def _cpe_arrays(cpe, ch, dtype):
+    if cpe is not None:
+        return cpe[0], _row(cpe[1])
+    return jnp.zeros((9, ch), dtype), jnp.zeros((1, ch), dtype)
+
+
+def _weight_grads_common(x_dtype, w1, b1, w2, mx, dzx, mc, dzc):
+    """dW1/db1/dW2/db2 from the dumped (m, dz) pairs; the hidden-width
+    (gelu out, d-hidden) pair is recomputed here in XLA."""
+    f32 = jnp.float32
+    fast = x_dtype == jnp.bfloat16
+    ein = lambda a_, b_: jax.lax.dot_general(
+        a_, b_, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    colsum = lambda t: jnp.sum(t.astype(f32), axis=0)
+
+    def pair(mm, dz):
+        y = jax.lax.dot_general(mm, w1, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32) \
+            + b1.astype(f32)
+        gg = _gelu(y, fast=fast).astype(x_dtype)
+        dgg = jax.lax.dot_general(dz, w2, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32)
+        dy = (dgg * _gelu_grad(y, fast)).astype(x_dtype)
+        return gg, dy
+
+    gx, dyx = pair(mx, dzx)
+    gc, dyc = pair(mc, dzc)
+    dw1 = ein(mx, dyx) + ein(mc, dyc)
+    db1 = colsum(dyx) + colsum(dyc)
+    dw2 = ein(gx, dzx) + ein(gc, dzc)
+    db2 = colsum(dzx) + colsum(dzc)
+    return dw1, db1, dw2, db2, ein, colsum
+
+
+def _xla_cpe(x, cpe, b, n, ch, img_w):
+    """XLA twin of the in-kernel fused CPE (pad + 9 window products)."""
+    if cpe is None:
+        return x
+    taps, bias = cpe
+    h = n // (img_w or 1)
+    xv = x.reshape(b, h, img_w, ch)
+    xp = jnp.pad(xv, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros_like(xv) + bias.astype(x.dtype)
+    for ky in range(3):
+        for kx in range(3):
+            win = jax.lax.dynamic_slice(xp, (0, ky, kx, 0),
+                                        (b, h, img_w, ch))
+            acc = acc + win * taps[ky * 3 + kx].astype(x.dtype)
+    return (xv + acc).reshape(b, n, ch)
+
+
+def _xla_norm(t, dtype):
+    t32 = t.astype(jnp.float32)
+    mu = jnp.mean(t32, -1, keepdims=True)
+    var = jnp.mean(jnp.square(t32 - mu), -1, keepdims=True)
+    return ((t32 - mu) * jax.lax.rsqrt(var + _EPS)).astype(dtype)
+
+
+def _cpe_grads(x, dtu, b, n, ch, img_w, wcpe_dtype, bcpe_dtype):
+    """Tap/bias grads of the fused 3x3 CPE via an XLA window product on
+    the dumped pre-transpose grad dtu."""
+    f32 = jnp.float32
+    h = n // (img_w or 1)
+    xv = x.reshape(b, h, img_w, ch).astype(f32)
+    dv = dtu.reshape(b, h, img_w, ch).astype(f32)
+    xp = jnp.pad(xv, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    taps = []
+    for ky in range(3):
+        for kx in range(3):
+            win = jax.lax.dynamic_slice(xp, (0, ky, kx, 0),
+                                        (b, h, img_w, ch))
+            taps.append(jnp.sum(win * dv, axis=(0, 1, 2)))
+    return (jnp.stack(taps).astype(wcpe_dtype),
+            jnp.sum(dv, axis=(0, 1, 2)).astype(bcpe_dtype))
+
+
+# ----- S block -----
+
+@functools.partial(jax.jit, static_argnames=("scale", "num_heads",
+                                              "img_w", "use_cpe"))
+def _s_train_fwd_call(x, c, params, cpe, dp, scale, num_heads, img_w,
+                      use_cpe):
+    b, n, ch = x.shape
+    m = c.shape[1]
+    d = ch // num_heads
+    (wqkv, bqkv, wp, bp, w1, b1, w2, b2) = params
+    hidden = w1.shape[1]
+    rows = _pick_rows_train(b, n, ch, hidden, m)
+    g = _pick_group(num_heads, d)
+    dummy = jnp.zeros((8, 128), x.dtype)
+    maskx = _bd_mask(n, g, d, x.dtype) if g > 1 else dummy
+    maskc = _bd_mask(m, g, d, x.dtype) if g > 1 else dummy
+    wcpe, bcpe = _cpe_arrays(cpe, ch, x.dtype)
+    dparr = jnp.stack(dp).astype(jnp.float32)
+    weights = [wqkv, _row(bqkv), wp, _row(bp), w1, _row(b1), w2, _row(b2),
+               wcpe, bcpe, maskx, maskc]
+    kernel = functools.partial(
+        _s_train_fwd_kernel, scale=float(scale), num_heads=num_heads,
+        head_dim=d, rows=rows, n=n, m=m, use_cpe=use_cpe,
+        img_w=img_w or 1, g=g)
+    x2 = x.reshape(b * n, ch)
+    c2 = c.reshape(b * m, ch)
+    x_spec, c_spec, dp_spec, w_specs = _fwd_specs(b, n, m, ch, rows,
+                                                  weights)
+    sd = lambda r_, c_: jax.ShapeDtypeStruct((r_, c_), x.dtype)
+    xo, co, t1x, t1c = pl.pallas_call(
+        kernel,
+        grid=(b // rows,),
+        in_specs=[x_spec, c_spec, dp_spec] + w_specs,
+        out_specs=[x_spec, c_spec, x_spec, c_spec],
+        out_shape=[sd(b * n, ch), sd(b * m, ch), sd(b * n, ch),
+                   sd(b * m, ch)],
+        interpret=_pb._INTERPRET,
+    )(x2, c2, dparr, *weights)
+    return (xo.reshape(x.shape), co.reshape(c.shape), t1x, t1c)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "num_heads",
+                                              "img_w", "use_cpe"))
+def _s_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco, scale,
+                      num_heads, img_w, use_cpe):
+    b, n, ch = x.shape
+    m = c.shape[1]
+    d = ch // num_heads
+    (wqkv, bqkv, wp, bp, w1, b1, w2, b2) = params
+    hidden = w1.shape[1]
+    rows = _pick_rows_train(b, n, ch, hidden, m, bwd=True)
+    g = _pick_group(num_heads, d)
+    dummy = jnp.zeros((8, 128), x.dtype)
+    maskx = _bd_mask(n, g, d, x.dtype) if g > 1 else dummy
+    maskc = _bd_mask(m, g, d, x.dtype) if g > 1 else dummy
+    wcpe, bcpe = _cpe_arrays(cpe, ch, x.dtype)
+    wcpet = wcpe[::-1]  # flip both kernel axes == reverse (ky,kx) rows
+    dparr = jnp.stack(dp).astype(jnp.float32)
+    dxo2 = dxo.reshape(b * n, ch)
+    dco2 = dco.reshape(b * m, ch)
+
+    # B1: MLP backward (shared kernel)
+    dt1x, dt1c, mx, dzx, mc, dzc = _mlp_bwd_call(
+        t1x, t1c, dxo2, dco2, dparr, w1, b1, w2, rows)
+
+    # B2: attention backward
+    weights = [wqkv, _row(bqkv), wp, wcpe, bcpe, wcpet, maskx, maskc]
+    kernel = functools.partial(
+        _s_attn_bwd_kernel, scale=float(scale), num_heads=num_heads,
+        head_dim=d, rows=rows, n=n, m=m, use_cpe=use_cpe,
+        img_w=img_w or 1, g=g)
+    x2 = x.reshape(b * n, ch)
+    c2 = c.reshape(b * m, ch)
+    x_spec, c_spec, dp_spec, w_specs = _fwd_specs(b, n, m, ch, rows,
+                                                  weights)
+    x3_spec = pl.BlockSpec((rows * n, 3 * ch), lambda bi: (bi, 0),
+                           memory_space=pltpu.VMEM)
+    c3_spec = pl.BlockSpec((rows * m, 3 * ch), lambda bi: (bi, 0),
+                           memory_space=pltpu.VMEM)
+    sd = lambda r_, c_: jax.ShapeDtypeStruct((r_, c_), x.dtype)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b // rows,),
+        in_specs=[x_spec, c_spec, dp_spec] + w_specs + [x_spec, c_spec],
+        out_specs=[x_spec, c_spec, x_spec,
+                   x3_spec, x_spec, x_spec,
+                   c3_spec, c_spec, c_spec],
+        out_shape=[sd(b * n, ch), sd(b * m, ch), sd(b * n, ch),
+                   sd(b * n, 3 * ch), sd(b * n, ch), sd(b * n, ch),
+                   sd(b * m, 3 * ch), sd(b * m, ch), sd(b * m, ch)],
+        interpret=_pb._INTERPRET,
+    )(x2, c2, dparr, *weights, dt1x, dt1c)
+    (dx2, dc2, dtu, dqkvx, oattx, dox,
+     dqkvc, oattc, doc) = outs
+
+    dw1, db1, dw2, db2, ein, colsum = _weight_grads_common(
+        x.dtype, w1, b1, w2, mx, dzx, mc, dzc)
+    ax = _xla_norm(_xla_cpe(x, cpe if use_cpe else None, b, n, ch,
+                            img_w), x.dtype).reshape(b * n, ch)
+    ac = _xla_norm(c, x.dtype).reshape(b * m, ch)
+    dwqkv = ein(ax, dqkvx) + ein(ac, dqkvc)
+    dbqkv = colsum(dqkvx) + colsum(dqkvc)
+    dwp = ein(oattx, dox) + ein(oattc, doc)
+    dbp = colsum(dox) + colsum(doc)
+    dparams = (dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
+               dwp.astype(wp.dtype), dbp.astype(bp.dtype),
+               dw1.astype(w1.dtype), db1.astype(b1.dtype),
+               dw2.astype(w2.dtype), db2.astype(b2.dtype))
+    dcpe = (_cpe_grads(x, dtu, b, n, ch, img_w, wcpe.dtype, bcpe.dtype)
+            if use_cpe else None)
+    return (dx2.reshape(x.shape), dc2.reshape(c.shape), dparams, dcpe)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _s_train(x, c, params, cpe, dp, scale, num_heads, img_w):
+    out = _s_train_fwd_call(x, c, params, cpe, dp, scale, num_heads,
+                            img_w, cpe is not None)
+    return out[0], out[1]
+
+
+def _s_train_fwd_rule(x, c, params, cpe, dp, scale, num_heads, img_w):
+    xo, co, t1x, t1c = _s_train_fwd_call(
+        x, c, params, cpe, dp, scale, num_heads, img_w, cpe is not None)
+    return (xo, co), (x, c, params, cpe, dp, t1x, t1c)
+
+
+def _s_train_bwd_rule(scale, num_heads, img_w, res, grads):
+    x, c, params, cpe, dp, t1x, t1c = res
+    dxo, dco = grads
+    dx, dc, dparams, dcpe = _s_train_bwd_call(
+        x, c, params, cpe, dp, t1x, t1c, dxo.astype(x.dtype),
+        dco.astype(c.dtype), scale, num_heads, img_w, cpe is not None)
+    ddp = tuple(jnp.zeros_like(s) for s in dp)
+    return (dx, dc, dparams, dcpe, ddp)
+
+
+_s_train.defvjp(_s_train_fwd_rule, _s_train_bwd_rule)
+
+
+def s_block_train(x, c, params, dp, *, num_heads: int, cpe=None,
+                  img_w: int = 0):
+    """Fused S-type LeMeBlock TRAINING step (differentiable).
+
+    x (B,N,C), c (B,M,C); params = LN-folded 8-tuple
+    (Wqkv', bqkv', Wp, bp, W1', b1', W2, b2) — fold with
+    pallas_block._fold_ln OUTSIDE this call so LN affine grads chain
+    automatically. dp = (s1x, s2x, s1c, s2c) per-sample fp32 branch
+    scales (keep_mask / keep_prob, or ones when drop_path == 0).
+    cpe = ((9,C) taps, (C,) bias) fuses the 3x3 position embedding
+    (pass PRE-CPE x); taps/bias receive exact grads.
+
+    Returns (x_out, c_out) or None when the shape doesn't qualify."""
+    if not HAS_PLTPU:
+        return None
+    b, n, ch = x.shape
+    d = ch // num_heads
+    m = c.shape[1]
+    if n > _MAX_N_SBLOCK or ch % num_heads != 0 or m % 8 != 0:
+        return None
+    hidden = params[4].shape[1]
+    if (_pick_rows_train(b, n, ch, hidden, m) == 0
+            or _pick_rows_train(b, n, ch, hidden, m, bwd=True) == 0):
+        return None
+    scale = d ** -0.5
+    return tuple(_s_train(x, c, tuple(params),
+                          tuple(cpe) if cpe is not None else None,
+                          tuple(dp), scale, num_heads, img_w))
+
+
+# ----- D block -----
+
+@functools.partial(jax.jit, static_argnames=("scale_x", "scale_c",
+                                              "num_heads", "img_w",
+                                              "use_cpe"))
+def _dca_train_fwd_call(x, c, params, cpe, dp, scale_x, scale_c,
+                        num_heads, img_w, use_cpe):
+    b, n, ch = x.shape
+    m = c.shape[1]
+    d = ch // num_heads
+    (wqkv1, bqkv1, wqkv2, bqkv2, wpx, bpx, wpc, bpc,
+     w1, b1, w2, b2) = params
+    hidden = w1.shape[1]
+    rows = _pick_rows_train(b, n, ch, hidden, m)
+    g = _pick_group(num_heads, d)
+    gx = g
+    gc = g if g * n <= _pb._MAX_BD_ROWS else 1
+    dummy = jnp.zeros((8, 128), x.dtype)
+    maskx = _bd_mask(m, gx, d, x.dtype) if gx > 1 else dummy
+    maskc = _bd_mask(n, gc, d, x.dtype) if gc > 1 else dummy
+    wcpe, bcpe = _cpe_arrays(cpe, ch, x.dtype)
+    dparr = jnp.stack(dp).astype(jnp.float32)
+    weights = [wqkv1, _row(bqkv1), wqkv2, _row(bqkv2), wpx, _row(bpx),
+               wpc, _row(bpc), w1, _row(b1), w2, _row(b2),
+               wcpe, bcpe, maskx, maskc]
+    kernel = functools.partial(
+        _dca_train_fwd_kernel, scale_x=float(scale_x),
+        scale_c=float(scale_c), num_heads=num_heads, head_dim=d,
+        rows=rows, n=n, m=m, use_cpe=use_cpe, img_w=img_w or 1,
+        gx=gx, gc=gc)
+    x2 = x.reshape(b * n, ch)
+    c2 = c.reshape(b * m, ch)
+    x_spec, c_spec, dp_spec, w_specs = _fwd_specs(b, n, m, ch, rows,
+                                                  weights)
+    sd = lambda r_, c_: jax.ShapeDtypeStruct((r_, c_), x.dtype)
+    xo, co, t1x, t1c = pl.pallas_call(
+        kernel,
+        grid=(b // rows,),
+        in_specs=[x_spec, c_spec, dp_spec] + w_specs,
+        out_specs=[x_spec, c_spec, x_spec, c_spec],
+        out_shape=[sd(b * n, ch), sd(b * m, ch), sd(b * n, ch),
+                   sd(b * m, ch)],
+        interpret=_pb._INTERPRET,
+    )(x2, c2, dparr, *weights)
+    return (xo.reshape(x.shape), co.reshape(c.shape), t1x, t1c)
+
+
+@functools.partial(jax.jit, static_argnames=("scale_x", "scale_c",
+                                              "num_heads", "img_w",
+                                              "use_cpe"))
+def _dca_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco,
+                        scale_x, scale_c, num_heads, img_w, use_cpe):
+    b, n, ch = x.shape
+    m = c.shape[1]
+    d = ch // num_heads
+    (wqkv1, bqkv1, wqkv2, bqkv2, wpx, bpx, wpc, bpc,
+     w1, b1, w2, b2) = params
+    hidden = w1.shape[1]
+    rows = _pick_rows_train(b, n, ch, hidden, m, bwd=True)
+    g = _pick_group(num_heads, d)
+    gx = g
+    gc = g if g * n <= _pb._MAX_BD_ROWS else 1
+    dummy = jnp.zeros((8, 128), x.dtype)
+    maskx = _bd_mask(m, gx, d, x.dtype) if gx > 1 else dummy
+    maskc = _bd_mask(n, gc, d, x.dtype) if gc > 1 else dummy
+    wcpe, bcpe = _cpe_arrays(cpe, ch, x.dtype)
+    wcpet = wcpe[::-1]
+    dparr = jnp.stack(dp).astype(jnp.float32)
+    dxo2 = dxo.reshape(b * n, ch)
+    dco2 = dco.reshape(b * m, ch)
+
+    dt1x, dt1c, mx, dzx, mc, dzc = _mlp_bwd_call(
+        t1x, t1c, dxo2, dco2, dparr, w1, b1, w2, rows)
+
+    weights = [wqkv1, _row(bqkv1), wqkv2, _row(bqkv2), wpx, wpc,
+               wcpe, bcpe, wcpet, maskx, maskc]
+    kernel = functools.partial(
+        _dca_attn_bwd_kernel, scale_x=float(scale_x),
+        scale_c=float(scale_c), num_heads=num_heads, head_dim=d,
+        rows=rows, n=n, m=m, use_cpe=use_cpe, img_w=img_w or 1,
+        gx=gx, gc=gc)
+    x2 = x.reshape(b * n, ch)
+    c2 = c.reshape(b * m, ch)
+    x_spec, c_spec, dp_spec, w_specs = _fwd_specs(b, n, m, ch, rows,
+                                                  weights)
+    x3_spec = pl.BlockSpec((rows * n, 3 * ch), lambda bi: (bi, 0),
+                           memory_space=pltpu.VMEM)
+    c3_spec = pl.BlockSpec((rows * m, 3 * ch), lambda bi: (bi, 0),
+                           memory_space=pltpu.VMEM)
+    sd = lambda r_, c_: jax.ShapeDtypeStruct((r_, c_), x.dtype)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b // rows,),
+        in_specs=[x_spec, c_spec, dp_spec] + w_specs + [x_spec, c_spec],
+        out_specs=[x_spec, c_spec, x_spec,
+                   x3_spec, x_spec, x_spec,
+                   c3_spec, c_spec, c_spec],
+        out_shape=[sd(b * n, ch), sd(b * m, ch), sd(b * n, ch),
+                   sd(b * n, 3 * ch), sd(b * n, ch), sd(b * n, ch),
+                   sd(b * m, 3 * ch), sd(b * m, ch), sd(b * m, ch)],
+        interpret=_pb._INTERPRET,
+    )(x2, c2, dparr, *weights, dt1x, dt1c)
+    (dx2, dc2, dtu, dqkv1, oattx, dox,
+     dqkv2, oattc, doc) = outs
+
+    dw1, db1, dw2, db2, ein, colsum = _weight_grads_common(
+        x.dtype, w1, b1, w2, mx, dzx, mc, dzc)
+    ax = _xla_norm(_xla_cpe(x, cpe if use_cpe else None, b, n, ch,
+                            img_w), x.dtype).reshape(b * n, ch)
+    ac = _xla_norm(c, x.dtype).reshape(b * m, ch)
+    dparams = (ein(ax, dqkv1).astype(wqkv1.dtype),
+               colsum(dqkv1).astype(bqkv1.dtype),
+               ein(ac, dqkv2).astype(wqkv2.dtype),
+               colsum(dqkv2).astype(bqkv2.dtype),
+               ein(oattx, dox).astype(wpx.dtype),
+               colsum(dox).astype(bpx.dtype),
+               ein(oattc, doc).astype(wpc.dtype),
+               colsum(doc).astype(bpc.dtype),
+               dw1.astype(w1.dtype), db1.astype(b1.dtype),
+               dw2.astype(w2.dtype), db2.astype(b2.dtype))
+    dcpe = (_cpe_grads(x, dtu, b, n, ch, img_w, wcpe.dtype, bcpe.dtype)
+            if use_cpe else None)
+    return dx2.reshape(x.shape), dc2.reshape(c.shape), dparams, dcpe
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _dca_train(x, c, params, cpe, dp, scale_x, scale_c, num_heads, img_w):
+    out = _dca_train_fwd_call(x, c, params, cpe, dp, scale_x, scale_c,
+                              num_heads, img_w, cpe is not None)
+    return out[0], out[1]
+
+
+def _dca_train_fwd_rule(x, c, params, cpe, dp, scale_x, scale_c,
+                        num_heads, img_w):
+    xo, co, t1x, t1c = _dca_train_fwd_call(
+        x, c, params, cpe, dp, scale_x, scale_c, num_heads, img_w,
+        cpe is not None)
+    return (xo, co), (x, c, params, cpe, dp, t1x, t1c)
+
+
+def _dca_train_bwd_rule(scale_x, scale_c, num_heads, img_w, res, grads):
+    x, c, params, cpe, dp, t1x, t1c = res
+    dxo, dco = grads
+    dx, dc, dparams, dcpe = _dca_train_bwd_call(
+        x, c, params, cpe, dp, t1x, t1c, dxo.astype(x.dtype),
+        dco.astype(c.dtype), scale_x, scale_c, num_heads, img_w,
+        cpe is not None)
+    ddp = tuple(jnp.zeros_like(s) for s in dp)
+    return (dx, dc, dparams, dcpe, ddp)
+
+
+_dca_train.defvjp(_dca_train_fwd_rule, _dca_train_bwd_rule)
+
+
+def dca_block_train(x, c, params, dp, *, num_heads: int, scale_x: float,
+                    scale_c: float, cpe=None, img_w: int = 0):
+    """Fused D-type LeMeBlock TRAINING step (differentiable). params =
+    LN-folded 12-tuple (Wqkv1', bqkv1', Wqkv2', bqkv2', Wpx, bpx, Wpc,
+    bpc, W1', b1', W2, b2); dp/cpe as in s_block_train.
+
+    Declines (returns None) when the whole image doesn't fit one tile
+    (stage-1-scale blocks fall back to the XLA composition)."""
+    if not HAS_PLTPU:
+        return None
+    b, n, ch = x.shape
+    m = c.shape[1]
+    if ch % num_heads != 0 or m % 8 != 0 or n > 4096:
+        return None
+    hidden = params[8].shape[1]
+    # per-step buffer estimate (bf16, io + dumps, double-buffered)
+    per_row = 2 * 2 * (n + m) * (8 * ch + 3 * ch) * 2
+    budget = int(os.environ.get("PB_TRAIN_BWD_MB", "12")) * 1024 * 1024
+    if per_row > budget:
+        return None
+    if (_pick_rows_train(b, n, ch, hidden, m) == 0
+            or _pick_rows_train(b, n, ch, hidden, m, bwd=True) == 0):
+        return None
+    return tuple(_dca_train(x, c, tuple(params),
+                            tuple(cpe) if cpe is not None else None,
+                            tuple(dp), float(scale_x), float(scale_c),
+                            num_heads, img_w))

@@ -123,6 +123,10 @@ class LeMeBlock(nn.Module):
     def __call__(self, x, c, deterministic: bool = True):
         b, h, w, ch = x.shape
         hw = (h, w)
+        if not deterministic:
+            fused = self._try_fused_train(x.reshape(b, h * w, ch), c, w)
+            if fused is not None:
+                return fused[0].reshape(b, h, w, ch), fused[1]
         if self.attn_type in ("D", "D2"):
             # CPE fuses into the kernel when possible (PB_D_CPE=0 reverts
             # to the external XLA dwconv; the old 2x A/B loss was fixed by
@@ -187,6 +191,80 @@ class LeMeBlock(nn.Module):
                 c = self._residual_update(c, ac, None, deterministic)
                 x = x.reshape(b, h, w, ch)
         return x, c
+
+    def _dp_scales(self, b):
+        """Per-sample DropPath branch scales (keep_mask / keep_prob), four
+        independent draws (attn-x, mlp-x, attn-c, mlp-c) matching the
+        unfused path's four DropPath applications."""
+        if self.drop_path == 0.0:
+            ones = jnp.ones((b,), jnp.float32)
+            return (ones, ones, ones, ones)
+        keep = 1.0 - self.drop_path
+        rng = self.make_rng("dropout")
+        masks = jax.random.bernoulli(rng, keep, (4, b))
+        return tuple(masks[i].astype(jnp.float32) / keep for i in range(4))
+
+    def _try_fused_train(self, x, c, img_w):
+        """Fused TRAINING step (fwd + custom-VJP backward kernels) for S
+        and D blocks. Exact per-sample DropPath; LN affines folded into
+        the matmul weights OUTSIDE the kernel so their grads chain through
+        XLA autodiff. Returns None to fall back to the XLA composition
+        (C blocks, unsupported shapes, or stage-1-scale D backward that
+        exceeds the VMEM budget)."""
+        if self.attn_type not in ("S", "D") or not self._fusable(True):
+            return None
+        from lemevit_tpu.attn import pallas_block, pallas_train
+        from lemevit_tpu.attn import reference as aref
+        try:
+            v = self.variables["params"]
+            dt = self.dtype
+            cpe = self._cpe_weights(v)
+            dp = self._dp_scales(x.shape[0])
+            if self.attn_type == "S":
+                wqkv_f, bqkv_f = pallas_block._fold_ln(
+                    v["norm1"]["scale"], v["norm1"]["bias"],
+                    v["attn"]["qkv"]["kernel"].astype(dt),
+                    v["attn"]["qkv"]["bias"].astype(dt))
+                w1_f, b1_f = pallas_block._fold_ln(
+                    v["norm2"]["scale"], v["norm2"]["bias"],
+                    v["mlp"]["fc1"]["kernel"].astype(dt),
+                    v["mlp"]["fc1"]["bias"].astype(dt))
+                params = (wqkv_f, bqkv_f,
+                          v["attn"]["proj"]["kernel"].astype(dt),
+                          v["attn"]["proj"]["bias"].astype(dt),
+                          w1_f, b1_f,
+                          v["mlp"]["fc2"]["kernel"].astype(dt),
+                          v["mlp"]["fc2"]["bias"].astype(dt))
+                return pallas_train.s_block_train(
+                    x, c, params, dp, num_heads=self.num_heads,
+                    cpe=cpe, img_w=img_w)
+            scale_x, scale_c = aref.dca_scales(x.shape[1], c.shape[1],
+                                               x.shape[2])
+            wq1_f, bq1_f = pallas_block._fold_ln(
+                v["norm1"]["scale"], v["norm1"]["bias"],
+                v["attn"]["qkv1"]["kernel"].astype(dt),
+                v["attn"]["qkv1"]["bias"].astype(dt))
+            wq2_f, bq2_f = pallas_block._fold_ln(
+                v["norm1"]["scale"], v["norm1"]["bias"],
+                v["attn"]["qkv2"]["kernel"].astype(dt),
+                v["attn"]["qkv2"]["bias"].astype(dt))
+            w1_f, b1_f = pallas_block._fold_ln(
+                v["norm2"]["scale"], v["norm2"]["bias"],
+                v["mlp"]["fc1"]["kernel"].astype(dt),
+                v["mlp"]["fc1"]["bias"].astype(dt))
+            params = (wq1_f, bq1_f, wq2_f, bq2_f,
+                      v["attn"]["proj_x"]["kernel"].astype(dt),
+                      v["attn"]["proj_x"]["bias"].astype(dt),
+                      v["attn"]["proj_c"]["kernel"].astype(dt),
+                      v["attn"]["proj_c"]["bias"].astype(dt),
+                      w1_f, b1_f,
+                      v["mlp"]["fc2"]["kernel"].astype(dt),
+                      v["mlp"]["fc2"]["bias"].astype(dt))
+            return pallas_train.dca_block_train(
+                x, c, params, dp, num_heads=self.num_heads,
+                scale_x=scale_x, scale_c=scale_c, cpe=cpe, img_w=img_w)
+        except (KeyError, TypeError, LookupError):
+            return None
 
     def _cpe_weights(self, v):
         """(9,C) taps + (C,) bias for the fused kernels, or None when
