@@ -21,20 +21,33 @@ gap the TPU way:
        (shared by the S and D blocks — the MLP is weight-shared across
        both token streams in the architecture).
     B2 `_s/_dca_attn_bwd`: block inputs + dt1 -> dx, dc, recomputing
-       LN/qkv/attention in VMEM.
+       LN/qkv/attention in VMEM. dq/dk/dv/o are written straight into
+       output-ref slices per (row, head-group) — no concat temporaries —
+       and scores are recomputed in the same scope as their grads; this
+       liveness trim plus the output-set cuts below is what fits
+       base-stage3 (C=384, N=196) under the 16 MB scoped-VMEM limit
+       (the round-2 shape that compile-crashed at 17.16 MB).
   Weight grads are NOT accumulated in VMEM (fp32 accumulators next to
   the recompute transients blow the budget); the kernels dump the small
-  (activation, grad) pairs — a, dqkv, o_att, do, m, dz — and XLA
-  contracts them outside (einsum, fp32 accumulation). The hidden-width
-  pair (gelu output, d-hidden) is recomputed in XLA from m and dz
-  rather than dumped: two efficient einsums versus ~6MB of kernel
-  output buffering.
+  (activation, grad) pairs — dqkv, o_att, m, dz — and XLA contracts
+  them outside (einsum, fp32 accumulation). Three former dumps are
+  rebuilt in XLA instead of buffered: do (= droppath-scale * dt1,
+  elementwise), the hidden-width (gelu output, d-hidden) pair
+  (recomputed from m and dz), and the CPE-transposed data grad (the
+  kernel emits the PRE-transpose grad; the flipped-tap window product
+  is one fused XLA pass).
+
+Backward row folds are picked by explicit byte models
+(_pick_rows_bwd_mlp / _pick_rows_bwd_attn) that return 0 — XLA
+fallback — when no Mosaic-aligned fold fits the VMEM budget; there is
+NO alignment-forced over-budget fallback on the backward path
+(tests/test_train_compile.py compiles the flagship shapes on real TPU
+as the ground-truth gate).
 
 custom_vjp boundary: the kernels take LN-FOLDED weights (pallas_block.
 _fold_ln); the fold runs OUTSIDE the boundary so XLA autodiff chains the
-LN scale/bias grads through it for free. Same for the 3x3 CPE taps: the
-data-grad transpose runs in-kernel (flipped taps), the tap grads via an
-XLA window-product on the dumped pre-transpose grad.
+LN scale/bias grads through it for free. Same for the 3x3 CPE taps:
+tap grads via an XLA window-product on the dumped pre-transpose grad.
 
 DropPath scale grads are returned as zeros: the scales derive from
 Bernoulli masks and are never differentiated.
@@ -133,12 +146,18 @@ def _attn_fwd_group(q, k, v, scale, head_dim, mask):
     return o, p, lb
 
 
-def _attn_bwd_group(do, q, k, v, p, lb, scale, head_dim, mask):
-    """Backward of _attn_fwd_group: do (S_q, g*d) fp32 -> dq, dk, dv
-    (fp32, compact (S, g*d) layouts)."""
+def _attn_grp_bwd(do, q, k, v, scale, head_dim, mask):
+    """One head-group attention backward on a single image, recomputing
+    the scores in-scope (shared liveness with the grads): do (S_q, g*d)
+    fp32 -> (o fp32, dq, dk, dv fp32 compact (S, g*d) layouts). o is
+    returned for dumping (the projection-weight einsum runs in XLA)."""
     g = 1 if mask is None else mask.shape[1] // head_dim
     dt = v.dtype
     if g == 1:
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(jnp.minimum(s, _POS_CLIP))
+        lb = jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot_general(p.astype(dt), v, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32) / lb
         dnum = do / lb
@@ -155,10 +174,15 @@ def _attn_bwd_group(do, q, k, v, p, lb, scale, head_dim, mask):
         dv = jax.lax.dot_general(p.astype(dt), dnum.astype(dt),
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        return dq, dk, dv
+        return o, dq, dk, dv
     kbd = _bd_tile(k, g, mask)
     vbd = _bd_tile(v, g, mask)
+    s = jax.lax.dot_general(q, kbd, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(jnp.minimum(s, _POS_CLIP))
     pv = p.astype(dt)
+    lb = jax.lax.dot_general(pv, mask, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
     o = jax.lax.dot_general(pv, vbd, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) / lb
     dnum = (do / lb).astype(dt)
@@ -180,15 +204,20 @@ def _attn_bwd_group(do, q, k, v, p, lb, scale, head_dim, mask):
     m32 = mask.astype(jnp.float32)
     dk = sum((dkbd * m32)[j * skeys:(j + 1) * skeys] for j in range(g))
     dv = sum((dvbd * m32)[j * skeys:(j + 1) * skeys] for j in range(g))
-    return dq, dk, dv
+    return o, dq, dk, dv
 
 
-def _pick_rows_train(b, n, ch, hidden, m=16, bwd=False):
-    """Batch rows per grid step. Mosaic requires the block's sublane dim
-    (rows*n and rows*m) divisible by 8, so alignment can force a larger
-    fold than the VMEM budget prefers. Returns 0 when no aligned fold
-    divides the batch."""
-    per_row = (6 if not bwd else 10) * n * max(hidden, 3 * ch) * 2
+def _pick_rows_train(b, n, ch, hidden, m=16):
+    """FORWARD-kernel batch rows per grid step. Mosaic requires the
+    block's sublane dim (rows*n and rows*m) divisible by 8, so alignment
+    can force a larger fold than the VMEM budget prefers; the forced
+    minimum is retained here because the fused forwards have compiled at
+    every flagship shape including the forced fold (round-2 on-chip
+    evidence). The BACKWARD pickers below are budget-strict instead —
+    the round-2 stage-3 scoped-VMEM OOM came from this fallback being
+    applied to the backward. Returns 0 when no aligned fold divides the
+    batch."""
+    per_row = 6 * n * max(hidden, 3 * ch) * 2
     budget = int(os.environ.get("PB_TRAIN_VMEM_MB", "8")) * 1024 * 1024
     ok = lambda r: (b % r == 0 and (r * n) % 8 == 0 and (r * m) % 8 == 0)
     for r in (16, 8, 4, 2, 1):
@@ -196,6 +225,73 @@ def _pick_rows_train(b, n, ch, hidden, m=16, bwd=False):
             return r
     for r in (1, 2, 4, 8, 16):  # alignment-forced minimum
         if ok(r):
+            return r
+    return 0
+
+
+def _aligned_folds(b, n, m):
+    """Row folds satisfying Mosaic's sublane alignment, largest first."""
+    return [r for r in (16, 8, 4, 2, 1)
+            if b % r == 0 and (r * n) % 8 == 0 and (r * m) % 8 == 0]
+
+
+def _bwd_budget():
+    """Scoped-VMEM budget for the backward kernels (bytes). The hardware
+    compiler limit is 16 MB/core; default leaves headroom for layout
+    padding and estimate error. STRICT: the pickers below return 0 (XLA
+    fallback) instead of shipping an over-budget fold — the round-2
+    base@bs256 compile crash (17.16 MB at stage3) is the case this
+    guards."""
+    return float(os.environ.get("PB_TRAIN_BWD_MB", "14.5")) * 1024 * 1024
+
+
+def _pick_rows_bwd_mlp(b, n, ch, hidden, m=16):
+    """B1 (`_mlp_bwd_kernel`) row fold via an explicit byte model:
+    double-buffered bf16 IO counted exactly (5 blocks per token stream:
+    t1, dout, dt1, m, dz), fp32 transients by peak liveness (y + dgg +
+    dy around the w2 dot dominate: ~10*hidden + 12*ch bytes/token).
+    Calibrated against v5e scoped-VMEM reports (scripts/vmem_probe.py);
+    tests/test_train_compile.py is the on-chip ground truth."""
+    budget = _bwd_budget()
+    w = 2 * (2 * ch * hidden)  # w1 + w2, bf16
+    for r in _aligned_folds(b, n, m):
+        t = r * (n + m)
+        io = 2 * 2 * 5 * t * ch
+        trans = t * (12 * ch + 10 * hidden)
+        if w + io + trans <= budget:
+            return r
+    return 0
+
+
+def _pick_rows_bwd_attn(b, n, ch, m, num_heads, dca=False):
+    """B2 (attention-backward) row fold via an explicit byte model.
+    IO: 7 double-buffered bf16 blocks per token stream (in: t, dt1;
+    out: dtgrad, dqkv[3ch], oatt). Transients: qkv + doatt + dt1 +
+    ln-backward peak ~22*ch bytes/token (dq/dk/dv/o are written straight
+    into output-ref slices — no concat temporaries). Scores: ~3 live
+    fp32 (S_q, g*S_k) mats per (row, group) step, plus the
+    block-diagonal key/value expansions (bf16 fwd + fp32 grads) on
+    whichever direction uses g>1 over long keys."""
+    budget = _bwd_budget()
+    d = ch // num_heads
+    g = _pick_group(num_heads, d)
+    if dca:
+        gx = g
+        gc = g if g * n <= _pb._MAX_BD_ROWS else 1
+        w = 2 * (2 * 3 * ch * ch + 2 * ch * ch)
+        masks = 2 * (gx * m * gx * d + gc * n * gc * d)
+        scores = 12 * (gx + gc) * n * m
+        bdexp = 12 * d * (gx * gx * m + gc * gc * n)
+    else:
+        w = 2 * (3 * ch * ch + ch * ch)
+        masks = 2 * (g * n * g * d + g * m * g * d)
+        scores = 12 * g * (n * n + m * m)
+        bdexp = 12 * d * g * g * (n + m)
+    for r in _aligned_folds(b, n, m):
+        t = r * (n + m)
+        io = 2 * 2 * 7 * t * ch
+        trans = t * 22 * ch
+        if w + masks + scores + bdexp + io + trans <= budget:
             return r
     return 0
 
@@ -398,50 +494,51 @@ def _mlp_bwd_call(t1x, t1c, dxo, dco, dparr, w1, b1, w2, rows):
 # B2: attention backward kernels
 # ---------------------------------------------------------------------------
 
-def _attn_dir_bwd(doatt, q, k, v, rows, sq, sk, scale, num_heads,
-                  head_dim, g, mask, dtype):
-    """Backward of _attn_dir: recomputes p/lb per (row, group) and
-    assembles compact dq (rows*sq, C), dk/dv (rows*sk, C)."""
-    dq_rows, dk_rows, dv_rows = [], [], []
+def _attn_dir_bwd_dump(doatt, q, k, v, rows, sq, sk, scale, num_heads,
+                       head_dim, g, mask, dtype, dq_ref, dkv_ref,
+                       oatt_ref):
+    """Backward of _attn_dir, writing per-(row, group) results STRAIGHT
+    into output-ref slices (no concat temporaries — the liveness-peak
+    trim that fits base stage3 under the 16 MB scoped-VMEM limit). The
+    recomputed o is dumped alongside. Both grad refs are (S, 3*C)
+    q|k|v-third layouts: dq lands in dq_ref's q third, dk/dv in
+    dkv_ref's k/v thirds (the same ref for S blocks; the OPPOSITE
+    stream's for DCA, whose keys/values come from the other stream)."""
+    c_dim = num_heads * head_dim
     for r in range(rows):
         qs = slice(r * sq, (r + 1) * sq)
         ks = slice(r * sk, (r + 1) * sk)
-        dq_gs, dk_gs, dv_gs = [], [], []
         for h0 in range(0, num_heads, g):
-            gs = slice(h0 * head_dim, (h0 + g) * head_dim)
-            _, p, lb = _attn_fwd_group(q[qs, gs], k[ks, gs], v[ks, gs],
-                                       scale, head_dim, mask)
-            dqg, dkg, dvg = _attn_bwd_group(
-                doatt[qs, gs], q[qs, gs], k[ks, gs], v[ks, gs], p, lb,
+            lo, hi = h0 * head_dim, (h0 + g) * head_dim
+            gs = slice(lo, hi)
+            o, dqg, dkg, dvg = _attn_grp_bwd(
+                doatt[qs, gs], q[qs, gs], k[ks, gs], v[ks, gs],
                 scale, head_dim, mask)
-            dq_gs.append(dqg)
-            dk_gs.append(dkg)
-            dv_gs.append(dvg)
-        cat = lambda xs: (jnp.concatenate(xs, axis=1) if len(xs) > 1
-                          else xs[0])
-        dq_rows.append(cat(dq_gs))
-        dk_rows.append(cat(dk_gs))
-        dv_rows.append(cat(dv_gs))
-    catr = lambda xs: (jnp.concatenate(xs, axis=0) if len(xs) > 1
-                       else xs[0])
-    return (catr(dq_rows).astype(dtype), catr(dk_rows).astype(dtype),
-            catr(dv_rows).astype(dtype))
+            oatt_ref[qs, gs] = o.astype(dtype)
+            dq_ref[qs, lo:hi] = dqg.astype(dtype)
+            dkv_ref[ks, c_dim + lo:c_dim + hi] = dkg.astype(dtype)
+            dkv_ref[ks, 2 * c_dim + lo:2 * c_dim + hi] = dvg.astype(dtype)
 
 
 def _s_attn_bwd_kernel(x_ref, c_ref, dp_ref,
                        wqkv_ref, bqkv_ref, wp_ref,
-                       wcpe_ref, bcpe_ref, wcpet_ref,
+                       wcpe_ref, bcpe_ref,
                        maskx_ref, maskc_ref,
                        dt1x_ref, dt1c_ref,
-                       dx_ref, dc_ref, dtu_ref,
-                       dqkvx_ref, oattx_ref, dox_ref,
-                       dqkvc_ref, oattc_ref, doc_ref, *,
+                       dx_ref, dc_ref,
+                       dqkvx_ref, oattx_ref,
+                       dqkvc_ref, oattc_ref, *,
                        scale, num_heads, head_dim, rows, n, m,
                        use_cpe, img_w, g):
+    """Lean S-block attention backward. Outputs: dx/dc are the data
+    grads PRE-CPE-transpose (the caller applies the flipped-tap window
+    product in XLA — one fused elementwise pass — so this kernel carries
+    one less (N, C) output stream); dqkv/oatt feed the XLA weight-grad
+    einsums. do (= droppath-scale * dt1) is NOT dumped either: the
+    caller rebuilds it from dt1 in XLA for free."""
     dtype = x_ref.dtype
 
-    def branch(t, seq, mask_ref, s1, dt1_ref, refs):
-        dqkv_ref, oatt_ref, do_ref = refs
+    def branch(t, seq, mask_ref, s1, dt1_ref, dqkv_ref, oatt_ref):
         mask = mask_ref[:] if g > 1 else None
         a = _ln(t, None, None).astype(dtype)
         qkv = jax.lax.dot_general(a, wqkv_ref[:], (((1,), (0,)), ((), ())),
@@ -451,56 +548,48 @@ def _s_attn_bwd_kernel(x_ref, c_ref, dp_ref,
         q = qkv[:, :c_dim]
         k = qkv[:, c_dim:2 * c_dim]
         v = qkv[:, 2 * c_dim:]
-        o_att = _attn_dir(q, k, v, rows, seq, seq, scale, num_heads,
-                          head_dim, g, mask, dtype)
         dt1 = dt1_ref[:].astype(jnp.float32)
         do = (s1 * dt1).astype(dtype)
         doatt = jax.lax.dot_general(do, wp_ref[:], (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-        dq, dk, dv = _attn_dir_bwd(doatt, q, k, v, rows, seq, seq, scale,
-                                   num_heads, head_dim, g, mask, dtype)
-        dqkv = jnp.concatenate([dq, dk, dv], axis=1)
-        da = jax.lax.dot_general(dqkv, wqkv_ref[:],
+        _attn_dir_bwd_dump(doatt, q, k, v, rows, seq, seq, scale,
+                           num_heads, head_dim, g, mask, dtype,
+                           dqkv_ref, dqkv_ref, oatt_ref)
+        # `a` is NOT dumped: the dWqkv einsum recomputes norm(cpe(x)) in
+        # XLA (2 cheap fused passes). dqkv is read back from the output
+        # ref (bf16 — same precision as the dumped stream).
+        da = jax.lax.dot_general(dqkv_ref[:], wqkv_ref[:],
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        dt = dt1 + _ln_bwd(da, t)
-        # `a` is NOT dumped: the dWqkv einsum recomputes norm(cpe(x)) in
-        # XLA (2 cheap fused passes) — saves ~1MB of double-buffered
-        # kernel output, the margin stage4 needs to fit the 16MB VMEM
-        dqkv_ref[:] = dqkv
-        oatt_ref[:] = o_att
-        do_ref[:] = do
-        return dt
+        return dt1 + _ln_bwd(da, t)
 
     xflat = x_ref[:]
     if use_cpe:
         xflat = _cpe_flat(xflat, wcpe_ref[:], bcpe_ref[0],
                           n // img_w, img_w)
     dtx = branch(xflat, n, maskx_ref, _dp_cols(dp_ref, 0, rows, n),
-                 dt1x_ref, (dqkvx_ref, oattx_ref, dox_ref))
-    dtu_ref[:] = dtx.astype(dtype)
-    if use_cpe:
-        dx_ref[:] = _cpe_flat(dtx.astype(dtype), wcpet_ref[:],
-                              jnp.zeros_like(bcpe_ref)[0],
-                              n // img_w, img_w).astype(dtype)
-    else:
-        dx_ref[:] = dtx.astype(dtype)
+                 dt1x_ref, dqkvx_ref, oattx_ref)
+    dx_ref[:] = dtx.astype(dtype)
     dtc = branch(c_ref[:], m, maskc_ref, _dp_cols(dp_ref, 2, rows, m),
-                 dt1c_ref, (dqkvc_ref, oattc_ref, doc_ref))
+                 dt1c_ref, dqkvc_ref, oattc_ref)
     dc_ref[:] = dtc.astype(dtype)
 
 
 def _dca_attn_bwd_kernel(x_ref, c_ref, dp_ref,
                          wqkv1_ref, bqkv1_ref, wqkv2_ref, bqkv2_ref,
                          wpx_ref, wpc_ref,
-                         wcpe_ref, bcpe_ref, wcpet_ref,
+                         wcpe_ref, bcpe_ref,
                          maskx_ref, maskc_ref,
                          dt1x_ref, dt1c_ref,
-                         dx_ref, dc_ref, dtu_ref,
-                         dqkv1_ref, oattx_ref, dox_ref,
-                         dqkv2_ref, oattc_ref, doc_ref, *,
+                         dx_ref, dc_ref,
+                         dqkv1_ref, oattx_ref,
+                         dqkv2_ref, oattc_ref, *,
                          scale_x, scale_c, num_heads, head_dim, rows,
                          n, m, use_cpe, img_w, gx, gc):
+    """Lean DCA backward (see _s_attn_bwd_kernel): dx is the data grad
+    PRE-CPE-transpose; do/dqkv-concat/oatt temporaries eliminated via
+    direct slice writes. dq1 lands in dqkv1's q third while dk2/dv2 land
+    in dqkv2's k/v thirds (cross-stream keys), and vice versa."""
     dtype = x_ref.dtype
     c_dim = x_ref.shape[-1]
     maskx = maskx_ref[:] if gx > 1 else None
@@ -522,10 +611,6 @@ def _dca_attn_bwd_kernel(x_ref, c_ref, dp_ref,
                   qkv1[:, 2 * c_dim:])
     q2, k2, v2 = (qkv2[:, :c_dim], qkv2[:, c_dim:2 * c_dim],
                   qkv2[:, 2 * c_dim:])
-    oatt_x = _attn_dir(q1, k2, v2, rows, n, m, scale_x, num_heads,
-                       head_dim, gx, maskx, dtype)
-    oatt_c = _attn_dir(q2, k1, v1, rows, m, n, scale_c, num_heads,
-                       head_dim, gc, maskc, dtype)
     dt1x = dt1x_ref[:].astype(jnp.float32)
     dt1c = dt1c_ref[:].astype(jnp.float32)
     dox = (_dp_cols(dp_ref, 0, rows, n) * dt1x).astype(dtype)
@@ -534,35 +619,22 @@ def _dca_attn_bwd_kernel(x_ref, c_ref, dp_ref,
                                  preferred_element_type=jnp.float32)
     doattc = jax.lax.dot_general(doc, wpc_ref[:], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-    dq1, dk2, dv2 = _attn_dir_bwd(doattx, q1, k2, v2, rows, n, m,
-                                  scale_x, num_heads, head_dim, gx,
-                                  maskx, dtype)
-    dq2, dk1, dv1 = _attn_dir_bwd(doattc, q2, k1, v1, rows, m, n,
-                                  scale_c, num_heads, head_dim, gc,
-                                  maskc, dtype)
-    dqkv1 = jnp.concatenate([dq1, dk1, dv1], axis=1)
-    dqkv2 = jnp.concatenate([dq2, dk2, dv2], axis=1)
-    da_x = jax.lax.dot_general(dqkv1, wqkv1_ref[:],
+    _attn_dir_bwd_dump(doattx, q1, k2, v2, rows, n, m, scale_x,
+                       num_heads, head_dim, gx, maskx, dtype,
+                       dqkv1_ref, dqkv2_ref, oattx_ref)
+    _attn_dir_bwd_dump(doattc, q2, k1, v1, rows, m, n, scale_c,
+                       num_heads, head_dim, gc, maskc, dtype,
+                       dqkv2_ref, dqkv1_ref, oattc_ref)
+    # `xa`/`ca` are NOT dumped (recomputed in XLA for the dWqkv einsums);
+    # dqkv read back from the output refs in bf16 for the LN chain
+    da_x = jax.lax.dot_general(dqkv1_ref[:], wqkv1_ref[:],
                                (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
-    da_c = jax.lax.dot_general(dqkv2, wqkv2_ref[:],
+    da_c = jax.lax.dot_general(dqkv2_ref[:], wqkv2_ref[:],
                                (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
-    dtx = dt1x + _ln_bwd(da_x, xflat)
-    dtc = dt1c + _ln_bwd(da_c, cflat)
-    dtu_ref[:] = dtx.astype(dtype)
-    if use_cpe:
-        dx_ref[:] = _cpe_flat(dtx.astype(dtype), wcpet_ref[:],
-                              jnp.zeros_like(bcpe_ref)[0],
-                              n // img_w, img_w).astype(dtype)
-    else:
-        dx_ref[:] = dtx.astype(dtype)
-    dc_ref[:] = dtc.astype(dtype)
-    # `xa`/`ca` are NOT dumped (recomputed in XLA for the dWqkv einsums)
-    for ref, val in zip((dqkv1_ref, oattx_ref, dox_ref,
-                         dqkv2_ref, oattc_ref, doc_ref),
-                        (dqkv1, oatt_x, dox, dqkv2, oatt_c, doc)):
-        ref[:] = val.astype(dtype)
+    dx_ref[:] = (dt1x + _ln_bwd(da_x, xflat)).astype(dtype)
+    dc_ref[:] = (dt1c + _ln_bwd(da_c, cflat)).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -628,6 +700,25 @@ def _xla_cpe(x, cpe, b, n, ch, img_w):
                                         (b, h, img_w, ch))
             acc = acc + win * taps[ky * 3 + kx].astype(x.dtype)
     return (xv + acc).reshape(b, n, ch)
+
+
+def _xla_do(dt1, scales, seq, dtype):
+    """do = per-image droppath scale * dt1 as a flat (B*seq, C) bf16 —
+    the XLA twin of the scaling the kernel applies before the projection
+    backward (fuses into the downstream weight-grad einsums)."""
+    b = scales.shape[0]
+    d3 = dt1.reshape(b, seq, -1).astype(jnp.float32)
+    return (scales[:, None, None] * d3).astype(dtype).reshape(dt1.shape)
+
+
+def _xla_cpe_t(dtu, cpe, b, n, ch, img_w):
+    """Transpose of the fused 3x3 CPE: dx = dtu + flipped-tap window
+    product (zero bias). One fused elementwise XLA pass, traded for an
+    (N, C) output stream the backward kernel no longer carries."""
+    taps, _ = cpe
+    zero = jnp.zeros_like(taps[0])
+    return _xla_cpe(dtu.reshape(b, n, ch), (taps[::-1], zero),
+                    b, n, ch, img_w).reshape(dtu.shape)
 
 
 def _xla_norm(t, dtype):
@@ -705,23 +796,23 @@ def _s_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco, scale,
     d = ch // num_heads
     (wqkv, bqkv, wp, bp, w1, b1, w2, b2) = params
     hidden = w1.shape[1]
-    rows = _pick_rows_train(b, n, ch, hidden, m, bwd=True)
+    rows_mlp = _pick_rows_bwd_mlp(b, n, ch, hidden, m)
+    rows = _pick_rows_bwd_attn(b, n, ch, m, num_heads)
     g = _pick_group(num_heads, d)
     dummy = jnp.zeros((8, 128), x.dtype)
     maskx = _bd_mask(n, g, d, x.dtype) if g > 1 else dummy
     maskc = _bd_mask(m, g, d, x.dtype) if g > 1 else dummy
     wcpe, bcpe = _cpe_arrays(cpe, ch, x.dtype)
-    wcpet = wcpe[::-1]  # flip both kernel axes == reverse (ky,kx) rows
     dparr = jnp.stack(dp).astype(jnp.float32)
     dxo2 = dxo.reshape(b * n, ch)
     dco2 = dco.reshape(b * m, ch)
 
     # B1: MLP backward (shared kernel)
     dt1x, dt1c, mx, dzx, mc, dzc = _mlp_bwd_call(
-        t1x, t1c, dxo2, dco2, dparr, w1, b1, w2, rows)
+        t1x, t1c, dxo2, dco2, dparr, w1, b1, w2, rows_mlp)
 
     # B2: attention backward
-    weights = [wqkv, _row(bqkv), wp, wcpe, bcpe, wcpet, maskx, maskc]
+    weights = [wqkv, _row(bqkv), wp, wcpe, bcpe, maskx, maskc]
     kernel = functools.partial(
         _s_attn_bwd_kernel, scale=float(scale), num_heads=num_heads,
         head_dim=d, rows=rows, n=n, m=m, use_cpe=use_cpe,
@@ -739,19 +830,22 @@ def _s_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco, scale,
         kernel,
         grid=(b // rows,),
         in_specs=[x_spec, c_spec, dp_spec] + w_specs + [x_spec, c_spec],
-        out_specs=[x_spec, c_spec, x_spec,
-                   x3_spec, x_spec, x_spec,
-                   c3_spec, c_spec, c_spec],
-        out_shape=[sd(b * n, ch), sd(b * m, ch), sd(b * n, ch),
-                   sd(b * n, 3 * ch), sd(b * n, ch), sd(b * n, ch),
-                   sd(b * m, 3 * ch), sd(b * m, ch), sd(b * m, ch)],
+        out_specs=[x_spec, c_spec,
+                   x3_spec, x_spec,
+                   c3_spec, c_spec],
+        out_shape=[sd(b * n, ch), sd(b * m, ch),
+                   sd(b * n, 3 * ch), sd(b * n, ch),
+                   sd(b * m, 3 * ch), sd(b * m, ch)],
         interpret=_pb._INTERPRET,
     )(x2, c2, dparr, *weights, dt1x, dt1c)
-    (dx2, dc2, dtu, dqkvx, oattx, dox,
-     dqkvc, oattc, doc) = outs
+    (dtu, dc2, dqkvx, oattx, dqkvc, oattc) = outs
 
     dw1, db1, dw2, db2, ein, colsum = _weight_grads_common(
         x.dtype, w1, b1, w2, mx, dzx, mc, dzc)
+    # do (= droppath-scale * dt1) rebuilt here — XLA fuses the per-image
+    # scaling into the einsum operand reads
+    dox = _xla_do(dt1x, dparr[0], n, x.dtype)
+    doc = _xla_do(dt1c, dparr[2], m, x.dtype)
     ax = _xla_norm(_xla_cpe(x, cpe if use_cpe else None, b, n, ch,
                             img_w), x.dtype).reshape(b * n, ch)
     ac = _xla_norm(c, x.dtype).reshape(b * m, ch)
@@ -763,6 +857,9 @@ def _s_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco, scale,
                dwp.astype(wp.dtype), dbp.astype(bp.dtype),
                dw1.astype(w1.dtype), db1.astype(b1.dtype),
                dw2.astype(w2.dtype), db2.astype(b2.dtype))
+    # dtu is the data grad PRE-CPE-transpose; the flipped-tap window
+    # product (the transpose of the fused 3x3 CPE) runs here in XLA
+    dx2 = _xla_cpe_t(dtu, cpe, b, n, ch, img_w) if use_cpe else dtu
     dcpe = (_cpe_grads(x, dtu, b, n, ch, img_w, wcpe.dtype, bcpe.dtype)
             if use_cpe else None)
     return (dx2.reshape(x.shape), dc2.reshape(c.shape), dparams, dcpe)
@@ -816,7 +913,8 @@ def s_block_train(x, c, params, dp, *, num_heads: int, cpe=None,
         return None
     hidden = params[4].shape[1]
     if (_pick_rows_train(b, n, ch, hidden, m) == 0
-            or _pick_rows_train(b, n, ch, hidden, m, bwd=True) == 0):
+            or _pick_rows_bwd_mlp(b, n, ch, hidden, m) == 0
+            or _pick_rows_bwd_attn(b, n, ch, m, num_heads) == 0):
         return None
     scale = d ** -0.5
     return tuple(_s_train(x, c, tuple(params),
@@ -882,7 +980,8 @@ def _dca_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco,
     (wqkv1, bqkv1, wqkv2, bqkv2, wpx, bpx, wpc, bpc,
      w1, b1, w2, b2) = params
     hidden = w1.shape[1]
-    rows = _pick_rows_train(b, n, ch, hidden, m, bwd=True)
+    rows_mlp = _pick_rows_bwd_mlp(b, n, ch, hidden, m)
+    rows = _pick_rows_bwd_attn(b, n, ch, m, num_heads, dca=True)
     g = _pick_group(num_heads, d)
     gx = g
     gc = g if g * n <= _pb._MAX_BD_ROWS else 1
@@ -890,16 +989,15 @@ def _dca_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco,
     maskx = _bd_mask(m, gx, d, x.dtype) if gx > 1 else dummy
     maskc = _bd_mask(n, gc, d, x.dtype) if gc > 1 else dummy
     wcpe, bcpe = _cpe_arrays(cpe, ch, x.dtype)
-    wcpet = wcpe[::-1]
     dparr = jnp.stack(dp).astype(jnp.float32)
     dxo2 = dxo.reshape(b * n, ch)
     dco2 = dco.reshape(b * m, ch)
 
     dt1x, dt1c, mx, dzx, mc, dzc = _mlp_bwd_call(
-        t1x, t1c, dxo2, dco2, dparr, w1, b1, w2, rows)
+        t1x, t1c, dxo2, dco2, dparr, w1, b1, w2, rows_mlp)
 
     weights = [wqkv1, _row(bqkv1), wqkv2, _row(bqkv2), wpx, wpc,
-               wcpe, bcpe, wcpet, maskx, maskc]
+               wcpe, bcpe, maskx, maskc]
     kernel = functools.partial(
         _dca_attn_bwd_kernel, scale_x=float(scale_x),
         scale_c=float(scale_c), num_heads=num_heads, head_dim=d,
@@ -918,19 +1016,20 @@ def _dca_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco,
         kernel,
         grid=(b // rows,),
         in_specs=[x_spec, c_spec, dp_spec] + w_specs + [x_spec, c_spec],
-        out_specs=[x_spec, c_spec, x_spec,
-                   x3_spec, x_spec, x_spec,
-                   c3_spec, c_spec, c_spec],
-        out_shape=[sd(b * n, ch), sd(b * m, ch), sd(b * n, ch),
-                   sd(b * n, 3 * ch), sd(b * n, ch), sd(b * n, ch),
-                   sd(b * m, 3 * ch), sd(b * m, ch), sd(b * m, ch)],
+        out_specs=[x_spec, c_spec,
+                   x3_spec, x_spec,
+                   c3_spec, c_spec],
+        out_shape=[sd(b * n, ch), sd(b * m, ch),
+                   sd(b * n, 3 * ch), sd(b * n, ch),
+                   sd(b * m, 3 * ch), sd(b * m, ch)],
         interpret=_pb._INTERPRET,
     )(x2, c2, dparr, *weights, dt1x, dt1c)
-    (dx2, dc2, dtu, dqkv1, oattx, dox,
-     dqkv2, oattc, doc) = outs
+    (dtu, dc2, dqkv1, oattx, dqkv2, oattc) = outs
 
     dw1, db1, dw2, db2, ein, colsum = _weight_grads_common(
         x.dtype, w1, b1, w2, mx, dzx, mc, dzc)
+    dox = _xla_do(dt1x, dparr[0], n, x.dtype)
+    doc = _xla_do(dt1c, dparr[2], m, x.dtype)
     ax = _xla_norm(_xla_cpe(x, cpe if use_cpe else None, b, n, ch,
                             img_w), x.dtype).reshape(b * n, ch)
     ac = _xla_norm(c, x.dtype).reshape(b * m, ch)
@@ -944,6 +1043,7 @@ def _dca_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco,
                colsum(doc).astype(bpc.dtype),
                dw1.astype(w1.dtype), db1.astype(b1.dtype),
                dw2.astype(w2.dtype), db2.astype(b2.dtype))
+    dx2 = _xla_cpe_t(dtu, cpe, b, n, ch, img_w) if use_cpe else dtu
     dcpe = (_cpe_grads(x, dtu, b, n, ch, img_w, wcpe.dtype, bcpe.dtype)
             if use_cpe else None)
     return dx2.reshape(x.shape), dc2.reshape(c.shape), dparams, dcpe
@@ -993,13 +1093,9 @@ def dca_block_train(x, c, params, dp, *, num_heads: int, scale_x: float,
     if ch % num_heads != 0 or m % 8 != 0 or n > 4096:
         return None
     hidden = params[8].shape[1]
-    # per-step buffer estimate (bf16, io + dumps, double-buffered)
-    per_row = 2 * 2 * (n + m) * (8 * ch + 3 * ch) * 2
-    budget = int(os.environ.get("PB_TRAIN_BWD_MB", "12")) * 1024 * 1024
-    if per_row > budget:
-        return None
     if (_pick_rows_train(b, n, ch, hidden, m) == 0
-            or _pick_rows_train(b, n, ch, hidden, m, bwd=True) == 0):
+            or _pick_rows_bwd_mlp(b, n, ch, hidden, m) == 0
+            or _pick_rows_bwd_attn(b, n, ch, m, num_heads, dca=True) == 0):
         return None
     return tuple(_dca_train(x, c, tuple(params),
                             tuple(cpe) if cpe is not None else None,
