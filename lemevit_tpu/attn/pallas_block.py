@@ -208,20 +208,25 @@ def _rowjoint_mask(rows, seq_q, seq_k, g, dtype):
 # the same per-row constant (softmax-invariant), so a single exp pass covers
 # all heads; the per-head normalizers come back as one MXU dot p @ mask,
 # whose output replicates each block's sum across that head's d columns.
-# The -60 clip guards cross-head underflow (exp(-60)=8.8e-27 keeps the
-# normalizer finite even when one head's scores sit far below the global
-# row max; a fully-clipped head degrades to uniform attention instead of
-# NaN).
-_NEG_CLIP = -60.0
+# The lower clip guards underflow in BOTH softmax forms (exp(-80)=1.8e-35
+# is still a normal fp32): in the max-shifted branch it keeps a head whose
+# scores sit far below the global row max finite, and in the shiftless
+# branch it keeps a row whose every score is hugely negative from
+# underflowing to a 0/0 = NaN — either way the degenerate row degrades to
+# uniform attention, matching the reference's max-subtracted softmax.
 # Shiftless softmax (PB_SHIFTLESS=0 restores max-shifting): scores are fp32,
 # so exp without the max subtraction is mathematically identical as long as
 # nothing overflows — fp32 exp holds to s=88, and the worst normalizer here
-# is 3136 * e^70 = 7.9e33 << fp32 max. A single upper clip at +70 replaces
-# the per-row max lane-reduction + subtract (VPU-expensive), and in the
-# online path it removes the running-max/alpha-rescale machinery outright.
-# Scores beyond +70 degrade to hard-max behavior instead of overflowing.
+# is 3136 * e^70 = 7.9e33 << fp32 max. A single clip replaces the per-row
+# max lane-reduction + subtract (VPU-expensive), and in the online path it
+# removes the running-max/alpha-rescale machinery outright. Scores beyond
+# +70 degrade to hard-max behavior instead of overflowing; the LOWER clip
+# at -80 keeps exp() above fp32 underflow (e^-80 ~ 1.8e-35 > 0) so a row
+# whose every score is hugely negative degrades to uniform attention —
+# the max-subtracted softmax's behavior — instead of 0/0 = NaN.
 _SHIFTLESS = os.environ.get("PB_SHIFTLESS", "1") != "0"
 _POS_CLIP = 70.0
+_NEG_CLIP = -80.0
 # g*T rows above this crash the Mosaic compiler on v5e (expansion to
 # (9408, 96) at DCA stage-1 scale; 3136 verified fine) — callers fall back
 # to the per-head loop rather than tiling the expansion.
@@ -254,7 +259,7 @@ def _attn_rows(q, k, v, scale, num_heads, head_dim, out_dtype, mask=None,
                 q[:, gs], k[:, gs], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
             if _SHIFTLESS:
-                p = jnp.exp(jnp.minimum(s, _POS_CLIP))
+                p = jnp.exp(jnp.clip(s, _NEG_CLIP, _POS_CLIP))
             else:
                 p = jnp.exp(s - jnp.max(s, axis=1, keepdims=True))
             if rowmask is not None:
@@ -270,7 +275,7 @@ def _attn_rows(q, k, v, scale, num_heads, head_dim, out_dtype, mask=None,
             q[:, gs], kbd, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         if _SHIFTLESS:
-            p = jnp.exp(jnp.minimum(sc, _POS_CLIP)).astype(v.dtype)
+            p = jnp.exp(jnp.clip(sc, _NEG_CLIP, _POS_CLIP)).astype(v.dtype)
         else:
             m = jnp.max(sc, axis=1, keepdims=True)
             p = jnp.exp(jnp.maximum(sc - m, _NEG_CLIP)).astype(v.dtype)
@@ -309,7 +314,7 @@ def _online_attn(q, k, v, scale, num_heads, head_dim, m_scr, l_scr, acc_scr,
                 preferred_element_type=jnp.float32) * scale
             if _SHIFTLESS:
                 # no running max: plain exp-sum accumulation (see _SHIFTLESS)
-                pj = jnp.exp(jnp.minimum(s2, _POS_CLIP))
+                pj = jnp.exp(jnp.clip(s2, _NEG_CLIP, _POS_CLIP))
                 l_scr[:, gs] = l_scr[:, gs] + jnp.sum(pj, axis=1,
                                                       keepdims=True)
                 acc_scr[:, gs] = acc_scr[:, gs] + jax.lax.dot_general(
@@ -333,7 +338,7 @@ def _online_attn(q, k, v, scale, num_heads, head_dim, m_scr, l_scr, acc_scr,
             q[:, gs], kbd, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         if _SHIFTLESS:
-            p = jnp.exp(jnp.minimum(sc, _POS_CLIP)).astype(dtype)
+            p = jnp.exp(jnp.clip(sc, _NEG_CLIP, _POS_CLIP)).astype(dtype)
             l_scr[:, gs] = l_scr[:, gs] + jax.lax.dot_general(
                 p, mask, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)

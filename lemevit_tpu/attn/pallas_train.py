@@ -62,8 +62,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from lemevit_tpu.attn.pallas_block import (
-    HAS_PLTPU, _MAX_N_SBLOCK, _POS_CLIP, _bd_mask, _bd_tile, _cpe_flat,
-    _gelu, _ln, _pick_group, _ERF_TANH_P,
+    HAS_PLTPU, _MAX_N_SBLOCK, _NEG_CLIP, _POS_CLIP, _bd_mask, _bd_tile,
+    _cpe_flat, _gelu, _ln, _pick_group, _ERF_TANH_P,
 )
 from lemevit_tpu.attn import pallas_block as _pb
 
@@ -127,7 +127,7 @@ def _attn_fwd_group(q, k, v, scale, head_dim, mask):
     if g == 1:
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        p = jnp.exp(jnp.minimum(s, _POS_CLIP))
+        p = jnp.exp(jnp.clip(s, _NEG_CLIP, _POS_CLIP))
         lb = jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot_general(p.astype(v.dtype), v,
                                 (((1,), (0,)), ((), ())),
@@ -137,7 +137,7 @@ def _attn_fwd_group(q, k, v, scale, head_dim, mask):
     vbd = _bd_tile(v, g, mask)
     s = jax.lax.dot_general(q, kbd, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    p = jnp.exp(jnp.minimum(s, _POS_CLIP))
+    p = jnp.exp(jnp.clip(s, _NEG_CLIP, _POS_CLIP))
     pv = p.astype(v.dtype)
     lb = jax.lax.dot_general(pv, mask, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -156,7 +156,7 @@ def _attn_grp_bwd(do, q, k, v, scale, head_dim, mask):
     if g == 1:
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        p = jnp.exp(jnp.minimum(s, _POS_CLIP))
+        p = jnp.exp(jnp.clip(s, _NEG_CLIP, _POS_CLIP))
         lb = jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot_general(p.astype(dt), v, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32) / lb
@@ -179,7 +179,7 @@ def _attn_grp_bwd(do, q, k, v, scale, head_dim, mask):
     vbd = _bd_tile(v, g, mask)
     s = jax.lax.dot_general(q, kbd, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    p = jnp.exp(jnp.minimum(s, _POS_CLIP))
+    p = jnp.exp(jnp.clip(s, _NEG_CLIP, _POS_CLIP))
     pv = p.astype(dt)
     lb = jax.lax.dot_general(pv, mask, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -245,21 +245,31 @@ def _bwd_budget():
     return float(os.environ.get("PB_TRAIN_BWD_MB", "14.5")) * 1024 * 1024
 
 
-def _pick_rows_bwd_mlp(b, n, ch, hidden, m=16):
-    """B1 (`_mlp_bwd_kernel`) row fold via an explicit byte model:
-    double-buffered bf16 IO counted exactly (5 blocks per token stream:
-    t1, dout, dt1, m, dz), fp32 transients by peak liveness (y + dgg +
-    dy around the w2 dot dominate: ~10*hidden + 12*ch bytes/token).
-    Calibrated against v5e scoped-VMEM reports (scripts/vmem_probe.py);
-    tests/test_train_compile.py is the on-chip ground truth."""
+def _pick_bt_mlp(total_rows, ch, hidden):
+    """B1 (`_mlp_bwd_kernel`) flat-token tile size. The MLP backward is
+    POINTWISE across tokens (LN is over channels), so its blocks need no
+    image alignment — any 8-aligned tile dividing the flat (B*seq) row
+    count works, and the tile shrinks freely until the (tile, hidden)
+    fp32 recompute transients fit the budget (the round-2-era image-
+    aligned fold OOM'd at 21 MB for stage-1-scale single images).
+    Returns 0 when nothing fits (XLA fallback)."""
     budget = _bwd_budget()
     w = 2 * (2 * ch * hidden)  # w1 + w2, bf16
-    for r in _aligned_folds(b, n, m):
-        t = r * (n + m)
-        io = 2 * 2 * 5 * t * ch
-        trans = t * (12 * ch + 10 * hidden)
+    for bt in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if total_rows % bt:
+            continue
+        io = 2 * 2 * 5 * bt * ch        # t1, dout, dzv in; dt1, m out
+        trans = bt * (14 * hidden + 16 * ch)
         if w + io + trans <= budget:
-            return r
+            return bt
+    return 0
+
+
+def _pick_rows_bwd_mlp(b, n, ch, hidden, m=16):
+    """Gate twin of _pick_bt_mlp for the block-level qualify check: both
+    token streams must have a workable tile."""
+    if _pick_bt_mlp(b * n, ch, hidden) and _pick_bt_mlp(b * m, ch, hidden):
+        return 1
     return 0
 
 
@@ -431,63 +441,60 @@ def _dca_train_fwd_kernel(x_ref, c_ref, dp_ref,
 # B1: shared MLP backward kernel (identical for S and D blocks)
 # ---------------------------------------------------------------------------
 
-def _mlp_bwd_kernel(t1x_ref, t1c_ref, dxo_ref, dco_ref, dp_ref,
-                    w1_ref, b1_ref, w2_ref,
-                    dt1x_ref, dt1c_ref, mx_ref, dzx_ref, mc_ref, dzc_ref,
-                    *, rows, n, m):
-    dtype = t1x_ref.dtype
+def _mlp_bwd_kernel(t1_ref, dout_ref, dzv_ref, w1_ref, b1_ref, w2_ref,
+                    dt1_ref, m_ref):
+    """Flat-token MLP backward tile: t1 + upstream grads -> dt1,
+    recomputing LN/fc1/GELU in VMEM (one HBM pass over the (T, hidden)
+    intermediates instead of XLA's materialized round trips). dzv (the
+    droppath-scaled upstream grad) arrives precomputed from XLA — it is
+    elementwise and doubles as the dW2 einsum operand there."""
+    dtype = t1_ref.dtype
     fast = dtype == jnp.bfloat16
-
-    def branch(t1_ref_in, dout_ref, s2, dt1_ref, m_ref, dz_ref):
-        t1 = t1_ref_in[:]
-        dout = dout_ref[:].astype(jnp.float32)
-        dz = s2 * dout
-        dzv = dz.astype(dtype)
-        mm = _ln(t1, None, None).astype(dtype)
-        y = jax.lax.dot_general(mm, w1_ref[:], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        y = y + b1_ref[0].astype(jnp.float32)
-        dgg = jax.lax.dot_general(dzv, w2_ref[:], (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        dy = (dgg * _gelu_grad(y, fast)).astype(dtype)
-        dmm = jax.lax.dot_general(dy, w1_ref[:], (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        dt1 = dout + _ln_bwd(dmm, t1)
-        dt1_ref[:] = dt1.astype(dtype)
-        m_ref[:] = mm
-        dz_ref[:] = dzv
-
-    branch(t1x_ref, dxo_ref, _dp_cols(dp_ref, 1, rows, n),
-           dt1x_ref, mx_ref, dzx_ref)
-    branch(t1c_ref, dco_ref, _dp_cols(dp_ref, 3, rows, m),
-           dt1c_ref, mc_ref, dzc_ref)
+    t1 = t1_ref[:]
+    dout = dout_ref[:].astype(jnp.float32)
+    mm = _ln(t1, None, None).astype(dtype)
+    y = jax.lax.dot_general(mm, w1_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = y + b1_ref[0].astype(jnp.float32)
+    dgg = jax.lax.dot_general(dzv_ref[:], w2_ref[:],
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dy = (dgg * _gelu_grad(y, fast)).astype(dtype)
+    dmm = jax.lax.dot_general(dy, w1_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dt1_ref[:] = (dout + _ln_bwd(dmm, t1)).astype(dtype)
+    m_ref[:] = mm
 
 
-@functools.partial(jax.jit, static_argnames=("rows",))
-def _mlp_bwd_call(t1x, t1c, dxo, dco, dparr, w1, b1, w2, rows):
+@jax.jit
+def _mlp_bwd_call(t1x, t1c, dxo, dco, dparr, w1, b1, w2):
+    """Returns (dt1x, dt1c, mx, dzx, mc, dzc) — the dz streams are built
+    here in XLA (per-image droppath scale * upstream grad, fused) and fed
+    to the kernel AND to the dW2 einsum downstream."""
     bn, ch = t1x.shape
     bm = t1c.shape[0]
     b_imgs = dparr.shape[1]
-    n = bn // b_imgs
-    m = bm // b_imgs
+    hidden = w1.shape[1]
     weights = [w1, _row(b1), w2]
-    kernel = functools.partial(_mlp_bwd_kernel, rows=rows, n=n, m=m)
-    x_spec = pl.BlockSpec((rows * n, ch), lambda bi: (bi, 0),
-                          memory_space=pltpu.VMEM)
-    c_spec = pl.BlockSpec((rows * m, ch), lambda bi: (bi, 0),
-                          memory_space=pltpu.VMEM)
-    dp_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    sd = lambda r_, c_: jax.ShapeDtypeStruct((r_, c_), t1x.dtype)
-    return pl.pallas_call(
-        kernel,
-        grid=(b_imgs // rows,),
-        in_specs=[x_spec, c_spec, x_spec, c_spec, dp_spec]
-        + _wspec([w.shape for w in weights]),
-        out_specs=[x_spec, c_spec, x_spec, x_spec, c_spec, c_spec],
-        out_shape=[sd(bn, ch), sd(bm, ch), sd(bn, ch), sd(bn, ch),
-                   sd(bm, ch), sd(bm, ch)],
-        interpret=_pb._INTERPRET,
-    )(t1x, t1c, dxo, dco, dparr, *weights)
+    outs = []
+    for t1, dout, idx in ((t1x, dxo, 1), (t1c, dco, 3)):
+        total = t1.shape[0]
+        dzv = _xla_do(dout, dparr[idx], total // b_imgs, t1.dtype)
+        bt = _pick_bt_mlp(total, ch, hidden)
+        spec = pl.BlockSpec((bt, ch), lambda bi: (bi, 0),
+                            memory_space=pltpu.VMEM)
+        sd = jax.ShapeDtypeStruct((total, ch), t1.dtype)
+        dt1, mm = pl.pallas_call(
+            _mlp_bwd_kernel,
+            grid=(total // bt,),
+            in_specs=[spec, spec, spec] + _wspec([w.shape for w in weights]),
+            out_specs=[spec, spec],
+            out_shape=[sd, sd],
+            interpret=_pb._INTERPRET,
+        )(t1, dout, dzv, *weights)
+        outs += [dt1, mm, dzv]
+    (dt1x, mx, dzx, dt1c, mc, dzc) = outs
+    return dt1x, dt1c, mx, dzx, mc, dzc
 
 
 # ---------------------------------------------------------------------------
@@ -796,7 +803,6 @@ def _s_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco, scale,
     d = ch // num_heads
     (wqkv, bqkv, wp, bp, w1, b1, w2, b2) = params
     hidden = w1.shape[1]
-    rows_mlp = _pick_rows_bwd_mlp(b, n, ch, hidden, m)
     rows = _pick_rows_bwd_attn(b, n, ch, m, num_heads)
     g = _pick_group(num_heads, d)
     dummy = jnp.zeros((8, 128), x.dtype)
@@ -809,7 +815,7 @@ def _s_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco, scale,
 
     # B1: MLP backward (shared kernel)
     dt1x, dt1c, mx, dzx, mc, dzc = _mlp_bwd_call(
-        t1x, t1c, dxo2, dco2, dparr, w1, b1, w2, rows_mlp)
+        t1x, t1c, dxo2, dco2, dparr, w1, b1, w2)
 
     # B2: attention backward
     weights = [wqkv, _row(bqkv), wp, wcpe, bcpe, maskx, maskc]
@@ -980,7 +986,6 @@ def _dca_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco,
     (wqkv1, bqkv1, wqkv2, bqkv2, wpx, bpx, wpc, bpc,
      w1, b1, w2, b2) = params
     hidden = w1.shape[1]
-    rows_mlp = _pick_rows_bwd_mlp(b, n, ch, hidden, m)
     rows = _pick_rows_bwd_attn(b, n, ch, m, num_heads, dca=True)
     g = _pick_group(num_heads, d)
     gx = g
@@ -994,7 +999,7 @@ def _dca_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco,
     dco2 = dco.reshape(b * m, ch)
 
     dt1x, dt1c, mx, dzx, mc, dzc = _mlp_bwd_call(
-        t1x, t1c, dxo2, dco2, dparr, w1, b1, w2, rows_mlp)
+        t1x, t1c, dxo2, dco2, dparr, w1, b1, w2)
 
     weights = [wqkv1, _row(bqkv1), wqkv2, _row(bqkv2), wpx, wpc,
                wcpe, bcpe, maskx, maskc]

@@ -18,6 +18,10 @@ import numpy as np
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="lemevit_tpu benchmark")
     p.add_argument("--model", default="lemevit_base")
+    p.add_argument("--attn-backend", default="auto",
+                   choices=["auto", "pallas", "xla"],
+                   help="attention/block kernel dispatch: 'xla' bypasses "
+                        "the fused Pallas kernels (escape hatch)")
     p.add_argument("--bench", default="inference",
                    choices=["inference", "train", "both", "profile"])
     p.add_argument("--batch-size", type=int, default=256)
@@ -152,6 +156,7 @@ def benchmark(args) -> dict:
             args.batch_size = batch_size
             model = create_model(
                 args.model, num_classes=args.num_classes,
+                attn_backend=args.attn_backend,
                 dtype=jnp.bfloat16 if bf16 else jnp.float32)
             rng = jax.random.PRNGKey(0)
             x = jax.random.normal(

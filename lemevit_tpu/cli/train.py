@@ -36,9 +36,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--img-size", type=int, default=224)
     p.add_argument("--crop-pct", type=float, default=0.9)
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--worker-procs", type=int, default=0,
+                   help="decode in N forked worker processes instead of "
+                        "threads (GIL-free input pipeline; see "
+                        "scripts/loaderbench.py)")
     p.add_argument("--synthetic", action="store_true")
     # model
     p.add_argument("--model", default="lemevit_tiny")
+    p.add_argument("--attn-backend", default="auto",
+                   choices=["auto", "pallas", "xla"],
+                   help="attention/block kernel dispatch: 'xla' bypasses "
+                        "the fused Pallas kernels (escape hatch if a "
+                        "toolchain bump breaks a kernel)")
     p.add_argument("--drop-path", type=float, default=0.15)
     p.add_argument("--remat-stages", type=int, nargs="*", default=[])
     p.add_argument("--bf16", action="store_true", default=None)
@@ -53,11 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--sched", default="cosine",
                    choices=["cosine", "step", "multistep", "poly",
-                            "constant"])
+                            "constant", "plateau"])
     p.add_argument("--decay-epochs", type=float, default=90)
     p.add_argument("--decay-rate", type=float, default=0.1)
     p.add_argument("--decay-milestones", type=float, nargs="*", default=[])
     p.add_argument("--sched-power", type=float, default=1.0)
+    p.add_argument("--patience-epochs", type=int, default=10,
+                   help="plateau schedule: epochs without eval-metric "
+                        "improvement before the LR decays by --decay-rate")
     p.add_argument("--lr-base", type=float, default=5e-4)
     p.add_argument("--lr-base-size", type=int, default=512)
     p.add_argument("--lr-base-scale", default="linear",
@@ -198,9 +210,11 @@ def train(args, args_text: str = ""):
     proc, nproc = jax.process_index(), jax.process_count()
     train_loader = create_loader(train_ds, device_batch // nproc,
                                  is_training=True, num_threads=args.workers,
+                                 num_procs=args.worker_procs,
                                  seed=args.seed, rank=proc, world_size=nproc)
     val_loader = create_loader(val_ds, device_batch // nproc,
                                is_training=False, num_threads=args.workers,
+                               num_procs=args.worker_procs,
                                rank=proc, world_size=nproc)
     steps_per_epoch = args.steps_per_epoch or max(len(train_loader), 1)
 
@@ -209,6 +223,7 @@ def train(args, args_text: str = ""):
         args.model, num_classes=args.num_classes,
         drop_path_rate=args.drop_path,
         remat_stages=tuple(args.remat_stages),
+        attn_backend=args.attn_backend,
         dtype=jnp.bfloat16 if bf16 else jnp.float32)
     sched = build_lr_schedule(
         base_lr=args.lr_base, global_batch_size=global_batch,
@@ -222,7 +237,13 @@ def train(args, args_text: str = ""):
     tx = build_optimizer(sched, weight_decay=args.weight_decay,
                          clip_grad=args.clip_grad,
                          grad_accum_steps=args.grad_accum_steps,
-                         opt=args.opt, momentum=args.momentum)
+                         opt=args.opt, momentum=args.momentum,
+                         plateau=args.sched == "plateau")
+    plateau_ctl = None
+    if args.sched == "plateau":
+        from lemevit_tpu.train.optim import PlateauController
+        plateau_ctl = PlateauController(decay_rate=args.decay_rate,
+                                        patience=args.patience_epochs)
 
     with mesh:
         state = create_train_state(
@@ -248,6 +269,22 @@ def train(args, args_text: str = ""):
                 batch_stats=jax.tree.map(
                     jnp.asarray, variables.get("batch_stats", {})))
         ckpt_dir = os.path.join(out_dir, "checkpoints")
+        if aug_splits:
+            from lemevit_tpu.train.steps import (make_jsd_train_step,
+                                                 stack_batch_stats,
+                                                 unstack_batch_stats)
+            # per-split BN statistics: leading (S,) axis on batch_stats.
+            # Stack BEFORE restore: checkpoints saved during an
+            # --aug-splits run hold stacked (S,C) BN leaves, and the
+            # orbax restore target must match them.
+            leaves = jax.tree.leaves(state.batch_stats)
+            if leaves and leaves[0].ndim == 1:
+                state = state.replace(batch_stats=stack_batch_stats(
+                    state.batch_stats, aug_splits))
+            base_train_step = make_jsd_train_step(aug_splits,
+                                                  jsd_alpha=args.jsd_alpha)
+        else:
+            base_train_step = make_train_step(label_smoothing=0.0)
         if args.resume:
             state = restore_checkpoint(args.resume, state)
         elif not args.no_auto_resume:
@@ -261,20 +298,6 @@ def train(args, args_text: str = ""):
             state = state.replace(params=shard_params(state.params, mesh))
 
         batch_sharding = NamedSharding(mesh, P("data"))
-        if aug_splits:
-            from lemevit_tpu.train.steps import (make_jsd_train_step,
-                                                 stack_batch_stats,
-                                                 unstack_batch_stats)
-            # per-split BN statistics: leading (S,) axis on batch_stats
-            # (BN mean/var leaves are (C,); already-stacked = resumed)
-            leaves = jax.tree.leaves(state.batch_stats)
-            if leaves and leaves[0].ndim == 1:
-                state = state.replace(batch_stats=stack_batch_stats(
-                    state.batch_stats, aug_splits))
-            base_train_step = make_jsd_train_step(aug_splits,
-                                                  jsd_alpha=args.jsd_alpha)
-        else:
-            base_train_step = make_train_step(label_smoothing=0.0)
 
         def full_train_step(state, batch, rng):
             aug_rng, step_rng = jax.random.split(
@@ -338,8 +361,12 @@ def train(args, args_text: str = ""):
             train_loader.set_epoch(epoch)
             tracker = MetricTracker()
             t_ep = time.perf_counter()
-            it = iter(train_loader)
             first_step = resume_skip if epoch == start_epoch else 0
+            # resume consumes the batches the crashed run WOULD have seen
+            # (skip without decode; same seeded per-epoch permutation)
+            it = (train_loader.iter_batches(first_step)
+                  if first_step and hasattr(train_loader, "iter_batches")
+                  else iter(train_loader))
             for step_i in range(first_step, steps_per_epoch):
                 try:
                     batch = next(it)
@@ -364,7 +391,8 @@ def train(args, args_text: str = ""):
                     save_recovery(ckpt_dir, state)
                 if step_i % args.log_interval == 0:
                     m = {k: float(v) for k, v in metrics.items()}
-                    m["lr"] = float(sched(int(state.step)))
+                    m["lr"] = float(sched(int(state.step))) * (
+                        plateau_ctl.scale if plateau_ctl else 1.0)
                     tracker.update(m)
                     events.log(int(state.step), m)
                     logger.info(
@@ -409,6 +437,13 @@ def train(args, args_text: str = ""):
 
             metric = max(eval_stats.get("top1", -1.0),
                          eval_stats.get("ema_top1", -1.0))
+            if plateau_ctl is not None and eval_stats:
+                from lemevit_tpu.train.optim import set_plateau_scale
+                new_scale = plateau_ctl.update(metric)
+                state = state.replace(opt_state=set_plateau_scale(
+                    state.opt_state, new_scale))
+                if new_scale < 1.0:
+                    logger.info("plateau LR scale %.2e", new_scale)
             save_checkpoint(ckpt_dir, state, metric=metric,
                             max_history=args.checkpoint_hist)
             best_top1 = max(best_top1, metric)

@@ -39,12 +39,20 @@ class Loader:
         collate_fn: Optional[Callable] = None,
         device_put: bool = False,
         device_prefetch: int = 2,
+        num_procs: int = 0,
     ):
+        """num_procs > 0 decodes in forked WORKER PROCESSES instead of
+        threads — the GIL-free path (PIL releases the GIL inside libjpeg
+        but the numpy augment ops do not, so thread decode tops out at
+        ~1 core; see scripts/loaderbench.py). Workers inherit the
+        dataset by fork (no pickling of transforms) and return collated
+        batches over a queue."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_threads = max(1, num_threads)
+        self.num_procs = num_procs
         self.seed = seed
         self.rank = rank
         self.world_size = world_size
@@ -72,13 +80,23 @@ class Loader:
         return idx[self.rank::self.world_size]
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
+        return self.iter_batches(0)
+
+    def iter_batches(self, start: int = 0) -> Iterator[Dict[str, Any]]:
+        """Iterate from batch index ``start`` of this epoch's (seeded)
+        batch order WITHOUT decoding the skipped batches — mid-epoch
+        recovery resume consumes exactly the batches the crashed run
+        would have, at zero decode cost for the already-trained ones."""
+        if self.num_procs > 0:
+            yield from self._iter_procs(start)
+            return
         idx = self._indices()
         nb = len(self)
         sample_q: "queue.Queue" = queue.Queue(maxsize=self.num_threads * 8)
         done = object()
 
         def producer(tid: int):
-            for bi in range(tid, nb, self.num_threads):
+            for bi in range(start + tid, nb, self.num_threads):
                 batch_idx = idx[bi * self.batch_size:(bi + 1) * self.batch_size]
                 samples = [self.dataset[int(i)] for i in batch_idx]
                 sample_q.put((bi, self.collate_fn(samples)))
@@ -92,7 +110,7 @@ class Loader:
         # reorder into sequential batches
         pending: Dict[int, Any] = {}
         finished = 0
-        want = 0
+        want = start
         inflight = []
         while finished < self.num_threads or pending or want < nb:
             if want >= nb:
@@ -114,6 +132,54 @@ class Loader:
                 continue
             pending[item[0]] = item[1]
         yield from inflight
+
+
+    def _iter_procs(self, start: int = 0) -> Iterator[Dict[str, Any]]:
+        """Fork-based worker-process decode (GIL-free). Each worker
+        handles a stride of the batch indices and pushes collated numpy
+        batches through an mp.Queue; the parent reorders into sequential
+        batch order (same contract as the thread path)."""
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        idx = self._indices()
+        nb = len(self)
+        out_q: "mp.Queue" = ctx.Queue(maxsize=self.num_procs * 4)
+
+        def worker(wid: int):
+            for bi in range(start + wid, nb, self.num_procs):
+                lo = bi * self.batch_size
+                batch_idx = idx[lo:lo + self.batch_size]
+                samples = [self.dataset[int(i)] for i in batch_idx]
+                out_q.put((bi, self.collate_fn(samples)))
+            out_q.put(None)
+
+        procs = [ctx.Process(target=worker, args=(w,), daemon=True)
+                 for w in range(self.num_procs)]
+        for p in procs:
+            p.start()
+        try:
+            pending: Dict[int, Any] = {}
+            finished = 0
+            want = start
+            while want < nb:
+                if want in pending:
+                    batch = pending.pop(want)
+                    want += 1
+                    yield batch
+                    continue
+                if finished >= self.num_procs and want not in pending:
+                    break  # workers died early; don't hang
+                item = out_q.get()
+                if item is None:
+                    finished += 1
+                    continue
+                pending[item[0]] = item[1]
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join(timeout=5)
 
 
 def default_collate(samples) -> Dict[str, np.ndarray]:

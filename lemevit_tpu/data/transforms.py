@@ -173,7 +173,11 @@ def build_aug_policy(auto_augment: Optional[str]):
     if auto_augment.startswith("augmix"):
         mag, width, depth = 3.0, 3, -1
         for tok in auto_augment.split("-")[1:]:
-            if tok.startswith("m"):
+            if tok.startswith("mstd"):
+                pass  # accepted for timm-string compatibility; AugMix
+                #       magnitude jitter is not implemented (timm's
+                #       'augmix-m5-mstd0.5' form must not crash)
+            elif tok.startswith("m"):
                 mag = float(tok[1:])
             elif tok.startswith("w"):
                 width = int(tok[1:])

@@ -71,11 +71,83 @@ def build_lr_schedule(
         main = optax.polynomial_schedule(
             init_value=peak, end_value=min_lr, power=power,
             transition_steps=total_steps - warmup_steps)
-    elif sched in ("constant", "none"):
+    elif sched in ("constant", "none", "plateau"):
+        # plateau: the schedule holds the peak; the metric-driven decay is
+        # a multiplicative step_size hyperparam on the optimizer (see
+        # PlateauController / set_plateau_scale), because LR-on-metric
+        # cannot be a pure function of the step count
         main = optax.constant_schedule(peak)
     else:
         raise ValueError(f"unknown sched {sched!r}")
     return optax.join_schedules([warmup, main], [warmup_steps])
+
+
+class PlateauController:
+    """Host-side ReduceLROnPlateau (the timm `--sched plateau` surface,
+    /root/reference/main.py:514-537): feed the eval metric once per
+    epoch; the LR scale decays by ``decay_rate`` after ``patience``
+    epochs without improvement. Apply the returned scale with
+    set_plateau_scale (requires build_optimizer(plateau=True))."""
+
+    def __init__(self, decay_rate: float = 0.1, patience: int = 10,
+                 threshold: float = 1e-4, mode: str = "max",
+                 cooldown: int = 0, min_scale: float = 1e-3):
+        self.decay_rate = decay_rate
+        self.patience = patience
+        self.threshold = threshold
+        self.mode = mode
+        self.cooldown = cooldown
+        self.min_scale = min_scale
+        self.best = None
+        self.bad_epochs = 0
+        self.cooldown_left = 0
+        self.scale = 1.0
+
+    def _improved(self, metric) -> bool:
+        if self.best is None:
+            return True
+        if self.mode == "max":
+            return metric > self.best + self.threshold
+        return metric < self.best - self.threshold
+
+    def update(self, metric) -> float:
+        """Record one eval metric; returns the (possibly decayed) scale."""
+        if self._improved(metric):
+            self.best = metric
+            self.bad_epochs = 0
+        elif self.cooldown_left > 0:
+            self.cooldown_left -= 1
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.scale = max(self.scale * self.decay_rate,
+                                 self.min_scale)
+                self.bad_epochs = 0
+                self.cooldown_left = self.cooldown
+        return self.scale
+
+
+def set_plateau_scale(opt_state, scale):
+    """Return opt_state with the plateau step_size hyperparam replaced
+    (walks the optax state tree for the InjectHyperparamsState, through
+    MultiSteps/chain wrappers)."""
+    def walk(s):
+        # optax >= 0.2 returns InjectStatefulHyperparamsState; match both
+        if isinstance(s, tuple) and hasattr(s, "hyperparams") \
+                and "step_size" in getattr(s, "hyperparams", {}):
+            hp = dict(s.hyperparams)
+            hp["step_size"] = jnp.asarray(
+                scale, jnp.asarray(hp["step_size"]).dtype)
+            return s._replace(hyperparams=hp)
+        if isinstance(s, tuple) and hasattr(s, "_fields"):  # NamedTuple
+            return type(s)(*(walk(v) for v in s))
+        if isinstance(s, (tuple, list)):
+            return type(s)(walk(v) for v in s)
+        if isinstance(s, dict):
+            return {k: walk(v) for k, v in s.items()}
+        return s
+
+    return walk(opt_state)
 
 
 def _wd_mask(params):
@@ -112,6 +184,7 @@ def build_optimizer(
     params_example=None,
     opt: str = "adamw",
     momentum: float = 0.9,
+    plateau: bool = False,
 ) -> optax.GradientTransformation:
     """Optimizer factory covering the timm create_optimizer_v2 names the
     reference reaches through --opt (/root/reference/main.py:258): adamw
@@ -139,10 +212,11 @@ def build_optimizer(
             chain.append(optax.adam(learning_rate, b1=beta1, b2=beta2,
                                     eps=eps))
         elif opt in ("sgd", "momentum", "nesterov"):
+            # timm's create_optimizer_v2 treats 'sgd' as NESTEROV momentum
+            # SGD ('momentum' is plain heavy-ball) — match those dynamics
             chain.append(optax.sgd(
-                learning_rate,
-                momentum=momentum if opt != "sgd" or momentum else None,
-                nesterov=opt == "nesterov"))
+                learning_rate, momentum=momentum or None,
+                nesterov=opt in ("sgd", "nesterov")))
         elif opt in ("rmsprop", "rmsproptf"):
             chain.append(optax.rmsprop(learning_rate, decay=0.9, eps=eps,
                                        momentum=momentum, centered=False))
@@ -150,6 +224,10 @@ def build_optimizer(
             chain.append(optax.adagrad(learning_rate, eps=eps))
         else:
             raise ValueError(f"unknown opt {opt!r}")
+    if plateau:
+        # metric-driven LR decay rides a mutable step_size hyperparam
+        # (PlateauController.update -> set_plateau_scale on the opt state)
+        chain.append(optax.inject_hyperparams(optax.scale)(step_size=1.0))
     tx = optax.chain(*chain)
     if frozen_prefixes:
         fm = lambda p: _freeze_mask(p, tuple(frozen_prefixes))

@@ -214,3 +214,48 @@ def test_hfds_tfds_gated():
             assert "package" in str(e)
         except Exception:
             pass  # lib present and reached the hub — fine
+
+
+class _ArrDataset:
+    """Index-identifiable samples for loader-order tests."""
+
+    def __init__(self, n=40, size=8):
+        self.n = n
+        self.size = size
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        img = np.full((self.size, self.size, 3), i % 251, np.uint8)
+        return img, i
+
+
+@pytest.mark.fast
+def test_loader_resume_skip_matches_batches():
+    """iter_batches(start) yields exactly the tail of the epoch's batch
+    order (mid-epoch recovery: no re-training on seen data, no skipped
+    tail — advisor round-2 finding)."""
+    ds = _ArrDataset(40)
+    loader = create_loader(ds, 8, is_training=True, seed=3, num_threads=2)
+    full = [b["label"].tolist() for b in loader]
+    tail = [b["label"].tolist() for b in loader.iter_batches(2)]
+    assert tail == full[2:]
+
+
+@pytest.mark.fast
+def test_loader_process_workers_match_threads():
+    """num_procs decode path returns identical batches in identical
+    order to the thread path (GIL-free pipeline contract)."""
+    ds = _ArrDataset(48)
+    lt = create_loader(ds, 8, is_training=True, seed=7, num_threads=2)
+    lp = create_loader(ds, 8, is_training=True, seed=7, num_procs=2)
+    bt = list(lt)
+    bp = list(lp)
+    assert len(bt) == len(bp) == 6
+    for a, b in zip(bt, bp):
+        np.testing.assert_array_equal(a["label"], b["label"])
+        np.testing.assert_array_equal(a["image"], b["image"])
+    # resume skip works on the process path too
+    tail = [b["label"].tolist() for b in lp.iter_batches(4)]
+    assert tail == [b["label"].tolist() for b in bt[4:]]
