@@ -235,6 +235,14 @@ def _aligned_folds(b, n, m):
             if b % r == 0 and (r * n) % 8 == 0 and (r * m) % 8 == 0]
 
 
+# The backward limits the c-direction's block-diagonal key expansion to
+# much shorter keys than the forward: the expansion (plus its fp32 grads
+# and fold-back) costs ~12 B x gc^2 x n x d of liveness, which at DCA
+# stage-2 scale (n=784, g=3) is ~3.7 MB — the per-head loop is VMEM-free
+# and the c-direction is thin (16 queries), so the MXU win doesn't pay.
+_BWD_BD_ROWS = 1024
+
+
 def _bwd_budget():
     """Scoped-VMEM budget for the backward kernels (bytes). The hardware
     compiler limit is 16 MB/core; default leaves headroom for layout
@@ -243,6 +251,14 @@ def _bwd_budget():
     base@bs256 compile crash (17.16 MB at stage3) is the case this
     guards."""
     return float(os.environ.get("PB_TRAIN_BWD_MB", "14.5")) * 1024 * 1024
+
+
+def _lanes(c):
+    """VMEM buffers tile the lane (minor) dim to multiples of 128 — a
+    (N, 64) buffer COSTS (N, 128). Every byte model below must size
+    buffers at the padded width (measured: tiny stage1 ch=64 kernels ran
+    2x over the unpadded estimate)."""
+    return -(-c // 128) * 128
 
 
 def _pick_bt_mlp(total_rows, ch, hidden):
@@ -254,12 +270,13 @@ def _pick_bt_mlp(total_rows, ch, hidden):
     aligned fold OOM'd at 21 MB for stage-1-scale single images).
     Returns 0 when nothing fits (XLA fallback)."""
     budget = _bwd_budget()
+    cp, hp = _lanes(ch), _lanes(hidden)
     w = 2 * (2 * ch * hidden)  # w1 + w2, bf16
     for bt in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
         if total_rows % bt:
             continue
-        io = 2 * 2 * 5 * bt * ch        # t1, dout, dzv in; dt1, m out
-        trans = bt * (14 * hidden + 16 * ch)
+        io = 2 * 2 * 5 * bt * cp        # t1, dout, dzv in; dt1, m out
+        trans = bt * (14 * hp + 16 * cp)
         if w + io + trans <= budget:
             return bt
     return 0
@@ -284,23 +301,26 @@ def _pick_rows_bwd_attn(b, n, ch, m, num_heads, dca=False):
     whichever direction uses g>1 over long keys."""
     budget = _bwd_budget()
     d = ch // num_heads
+    cp, cp3 = _lanes(ch), _lanes(3 * ch)
     g = _pick_group(num_heads, d)
     if dca:
         gx = g
-        gc = g if g * n <= _pb._MAX_BD_ROWS else 1
+        gc = g if g * n <= _BWD_BD_ROWS else 1
         w = 2 * (2 * 3 * ch * ch + 2 * ch * ch)
-        masks = 2 * (gx * m * gx * d + gc * n * gc * d)
-        scores = 12 * (gx + gc) * n * m
-        bdexp = 12 * d * (gx * gx * m + gc * gc * n)
+        masks = 2 * (gx * m * _lanes(gx * d) + gc * n * _lanes(gc * d))
+        # ~3 live fp32 (S_q, lanes(g*S_k)) score mats per group step
+        scores = 12 * (n * _lanes(gx * m) + m * _lanes(gc * n))
+        # block-diagonal k/v expansions: bf16 fwd + fp32 grads ~ 12 B/elem
+        bdexp = 12 * (gx * m * _lanes(gx * d) + gc * n * _lanes(gc * d))
     else:
         w = 2 * (3 * ch * ch + ch * ch)
-        masks = 2 * (g * n * g * d + g * m * g * d)
-        scores = 12 * g * (n * n + m * m)
-        bdexp = 12 * d * g * g * (n + m)
+        masks = 2 * (g * n + g * m) * _lanes(g * d)
+        scores = 12 * (n * _lanes(g * n) + m * _lanes(g * m))
+        bdexp = 12 * (g * n + g * m) * _lanes(g * d)
     for r in _aligned_folds(b, n, m):
         t = r * (n + m)
-        io = 2 * 2 * 7 * t * ch
-        trans = t * 22 * ch
+        io = 2 * 2 * t * (4 * cp + cp3)   # x,dt1,dtgrad,oatt + dqkv
+        trans = t * 22 * cp
         if w + masks + scores + bdexp + io + trans <= budget:
             return r
     return 0
@@ -989,7 +1009,7 @@ def _dca_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco,
     rows = _pick_rows_bwd_attn(b, n, ch, m, num_heads, dca=True)
     g = _pick_group(num_heads, d)
     gx = g
-    gc = g if g * n <= _pb._MAX_BD_ROWS else 1
+    gc = g if g * n <= _BWD_BD_ROWS else 1
     dummy = jnp.zeros((8, 128), x.dtype)
     maskx = _bd_mask(m, gx, d, x.dtype) if gx > 1 else dummy
     maskc = _bd_mask(n, gc, d, x.dtype) if gc > 1 else dummy
