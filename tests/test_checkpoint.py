@@ -18,6 +18,8 @@ from lemevit_tpu.train.checkpoint import (auto_resume, latest_checkpoint,
 
 from tests import torch_oracle
 
+pytestmark = pytest.mark.fast
+
 
 def _state(seed=0):
     model = create_model("lemevit_micro", num_classes=3)

@@ -7,6 +7,8 @@ import pytest
 
 from lemevit_tpu.data import dota_split as ds
 
+pytestmark = pytest.mark.fast
+
 
 def test_iter_windows_cover_and_clamp():
     wins = ds.iter_windows(2048, 1024, size=1024, gap=200)

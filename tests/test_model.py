@@ -104,6 +104,7 @@ def test_remat_stage_matches_plain():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.fast
 def test_golden_logits_regression():
     """Fixed-seed micro model must reproduce committed golden logits —
     guards against accidental numerics drift in any layer."""

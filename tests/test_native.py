@@ -8,8 +8,9 @@ from lemevit_tpu.ops import native
 from lemevit_tpu import ops as jops
 
 
-pytestmark = pytest.mark.skipif(not native.available(),
-                                reason="native lib unavailable (no g++)")
+pytestmark = [pytest.mark.skipif(not native.available(),
+                                 reason="native lib unavailable (no g++)"),
+              pytest.mark.fast]
 
 
 def test_version():

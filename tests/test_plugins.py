@@ -10,6 +10,8 @@ from lemevit_tpu.ops import (ContextBlock, GeneralizedAttention,
                              GlobalPoolingCell, NonLocal2D, SumCell,
                              build_plugin_layer)
 
+pytestmark = pytest.mark.fast
+
 
 def _run(mod, *args, **kwargs):
     v = mod.init(jax.random.PRNGKey(0), *args, **kwargs)

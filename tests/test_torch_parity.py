@@ -17,6 +17,8 @@ from lemevit_tpu.models.convert import flax_to_torch, torch_to_flax
 
 from tests import torch_oracle
 
+pytestmark = pytest.mark.fast
+
 
 MICRO_CFG = dict(
     depth=(1, 1, 1, 2, 1),
