@@ -243,6 +243,20 @@ def _aligned_folds(b, n, m):
 _BWD_BD_ROWS = 1024
 
 
+def _compiler_params():
+    """Raised per-kernel VMEM limit for the training pallas_calls.
+    The XLA default scoped-vmem limit is 16 MB/core — a COMPILER flag,
+    not hardware (v5e has 128 MB VMEM). CompilerParams.vmem_limit_bytes
+    lifts it per kernel, letting the big-N stages keep whole images
+    resident; the byte-model budget (PB_TRAIN_BWD_MB) still bounds what
+    the pickers accept. No-op in interpret mode (CPU tests)."""
+    if _pb._INTERPRET or not HAS_PLTPU:
+        return {}
+    mb = int(os.environ.get("PB_VMEM_LIMIT_MB", "64"))
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=mb * 1024 * 1024)}
+
+
 def _bwd_budget():
     """Scoped-VMEM budget for the backward kernels (bytes). The hardware
     compiler limit is 16 MB/core; default leaves headroom for layout
@@ -511,6 +525,7 @@ def _mlp_bwd_call(t1x, t1c, dxo, dco, dparr, w1, b1, w2):
             out_specs=[spec, spec],
             out_shape=[sd, sd],
             interpret=_pb._INTERPRET,
+            **_compiler_params(),
         )(t1, dout, dzv, *weights)
         outs += [dt1, mm, dzv]
     (dt1x, mx, dzx, dt1c, mc, dzc) = outs
@@ -810,6 +825,7 @@ def _s_train_fwd_call(x, c, params, cpe, dp, scale, num_heads, img_w,
         out_shape=[sd(b * n, ch), sd(b * m, ch), sd(b * n, ch),
                    sd(b * m, ch)],
         interpret=_pb._INTERPRET,
+        **_compiler_params(),
     )(x2, c2, dparr, *weights)
     return (xo.reshape(x.shape), co.reshape(c.shape), t1x, t1c)
 
@@ -863,6 +879,7 @@ def _s_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco, scale,
                    sd(b * n, 3 * ch), sd(b * n, ch),
                    sd(b * m, 3 * ch), sd(b * m, ch)],
         interpret=_pb._INTERPRET,
+        **_compiler_params(),
     )(x2, c2, dparr, *weights, dt1x, dt1c)
     (dtu, dc2, dqkvx, oattx, dqkvc, oattc) = outs
 
@@ -991,6 +1008,7 @@ def _dca_train_fwd_call(x, c, params, cpe, dp, scale_x, scale_c,
         out_shape=[sd(b * n, ch), sd(b * m, ch), sd(b * n, ch),
                    sd(b * m, ch)],
         interpret=_pb._INTERPRET,
+        **_compiler_params(),
     )(x2, c2, dparr, *weights)
     return (xo.reshape(x.shape), co.reshape(c.shape), t1x, t1c)
 
@@ -1048,6 +1066,7 @@ def _dca_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco,
                    sd(b * n, 3 * ch), sd(b * n, ch),
                    sd(b * m, 3 * ch), sd(b * m, ch)],
         interpret=_pb._INTERPRET,
+        **_compiler_params(),
     )(x2, c2, dparr, *weights, dt1x, dt1c)
     (dtu, dc2, dqkv1, oattx, dqkv2, oattc) = outs
 

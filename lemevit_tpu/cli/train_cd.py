@@ -24,7 +24,8 @@ def build_parser():
     p = argparse.ArgumentParser(description="lemevit_tpu change detection")
     p.add_argument("--data-dir", default="")
     p.add_argument("--backbone", default="lemevit_small")
-    p.add_argument("--head", default="bit", choices=["bit", "snunet"])
+    p.add_argument("--head", default="bit",
+                   choices=["bit", "snunet", "snunet_conc", "siamunet_diff"])
     p.add_argument("--patch-size", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--epochs", type=int, default=100)
@@ -92,7 +93,8 @@ def main(argv=None):
     from lemevit_tpu.models import create_model
     from lemevit_tpu.ops.losses import hybrid_loss, softmax_focal_loss
     from lemevit_tpu.tasks import BITChangeDetector
-    from lemevit_tpu.tasks.snunet import SNUNetECAM
+    from lemevit_tpu.tasks.snunet import (SiamNestedUNetConc, SiamUnetDiff,
+                                          SNUNetECAM)
     from lemevit_tpu.train.checkpoint import load_pretrained, save_checkpoint
     from lemevit_tpu.train.state import TrainState
     from lemevit_tpu.utils.logging import setup_logging
@@ -122,6 +124,10 @@ def main(argv=None):
         model = BITChangeDetector(backbone=backbone,
                                   dec_depth=args.dec_depth,
                                   token_len=args.token_len, dtype=dtype)
+    elif args.head == "snunet_conc":
+        model = SiamNestedUNetConc(dtype=dtype)
+    elif args.head == "siamunet_diff":
+        model = SiamUnetDiff(dtype=dtype)
     else:
         model = SNUNetECAM(dtype=dtype)
 
@@ -149,25 +155,35 @@ def main(argv=None):
         opt_state=tx.init(variables["params"]), apply_fn=model.apply, tx=tx)
 
     has_bn = bool(jax.tree.leaves(state.batch_stats))
+    has_dropout = args.head == "siamunet_diff"
 
-    def loss_fn(params, batch_stats, batch):
+    def loss_fn(params, batch_stats, batch, step):
         v = {"params": params}
         if has_bn:
             v["batch_stats"] = batch_stats
+        rngs = ({"dropout": jax.random.fold_in(jax.random.PRNGKey(17), step)}
+                if has_dropout else None)
         out = model.apply(v, norm(batch["a"]), norm(batch["b"]), train=True,
-                          mutable=["batch_stats"] if has_bn else [])
+                          mutable=["batch_stats"] if has_bn else [],
+                          rngs=rngs)
         logits, mut = out if has_bn else (out, {})
-        logits_nchw = logits.transpose(0, 3, 1, 2)
+        # deep-supervision heads return a tuple of logits; the reference's
+        # hybrid_loss sums over the tuple (utils/losses.py:14), and CE runs
+        # per-output too
+        tup = logits if isinstance(logits, tuple) else (logits,)
+        nchw = [lg.transpose(0, 3, 1, 2) for lg in tup]
         if args.loss == "hybrid":
-            loss = hybrid_loss(logits_nchw, batch["mask"])
+            loss = hybrid_loss(nchw, batch["mask"])
         else:
-            loss = softmax_focal_loss(logits_nchw, batch["mask"], gamma=0.0)
+            loss = sum(softmax_focal_loss(lg, batch["mask"], gamma=0.0)
+                       for lg in nchw)
         return loss, mut.get("batch_stats", {})
 
     @jax.jit
     def train_step(state, batch):
         (loss, new_stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   state.step)
         state = state.apply_gradients(
             grads, new_stats if has_bn else state.batch_stats)
         return state, loss
@@ -179,6 +195,8 @@ def main(argv=None):
             v["batch_stats"] = state.batch_stats
         logits = model.apply(v, norm(batch["a"]), norm(batch["b"]),
                              train=False)
+        if isinstance(logits, tuple):  # deep supervision: score the last
+            logits = logits[-1]
         pred = logits.argmax(-1)
         gt = batch["mask"]
         tp = ((pred == 1) & (gt == 1)).sum()

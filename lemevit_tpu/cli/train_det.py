@@ -27,6 +27,12 @@ def build_parser():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--weight-decay", type=float, default=0.05)
     p.add_argument("--num-proposals", type=int, default=256)
+    p.add_argument("--rpn-nms-pre", type=int, default=512,
+                   help="per-level pre-NMS top-k in the RPN (reference "
+                        "OBBDetection config: 2000; default scaled down "
+                        "to keep the padded rotated-IoU matrices "
+                        "TPU-friendly — A/B'd in tests/test_detection_"
+                        "train.py::test_rpn_nms_pre_map_ab)")
     p.add_argument("--max-boxes", type=int, default=64)
     p.add_argument("--fpn-channels", type=int, default=256)
     p.add_argument("--output", default="./output/det")
@@ -102,7 +108,8 @@ def main(argv=None):
     backbone = create_model(args.backbone, features_only=True, dtype=dtype)
     det = OrientedRCNN(backbone=backbone, num_classes=args.num_classes,
                        fpn_channels=args.fpn_channels,
-                       num_proposals=args.num_proposals, dtype=dtype)
+                       num_proposals=args.num_proposals,
+                       rpn_nms_pre=args.rpn_nms_pre, dtype=dtype)
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, args.img_size, args.img_size, 3))
     variables = det.init(rng, dummy)

@@ -209,6 +209,13 @@ def select_proposals(cls_scores: Sequence[jax.Array],
         lvl_boxes.append(dec)
     cat_scores = jnp.concatenate(lvl_scores, axis=1)
     cat_boxes = jnp.concatenate(lvl_boxes, axis=1)
+    if cat_scores.shape[1] < num_proposals:
+        # fewer candidates than requested proposals: pad with -inf slots
+        # (static output shape; padded rows mirror suppressed rows)
+        pad = num_proposals - cat_scores.shape[1]
+        cat_scores = jnp.pad(cat_scores, ((0, 0), (0, pad)),
+                             constant_values=-jnp.inf)
+        cat_boxes = jnp.pad(cat_boxes, ((0, 0), (0, pad), (0, 0)))
     _, sel = jax.lax.top_k(cat_scores, num_proposals)
     return jnp.take_along_axis(cat_boxes, sel[..., None], axis=1)
 

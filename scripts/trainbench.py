@@ -128,9 +128,12 @@ def main():
                     default=["lemevit_tiny", "lemevit_small", "lemevit_base"])
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--stages", action="store_true")
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(__file__), "..", "TRAINBENCH.json"))
+    ap.add_argument("--out", default="")
     args = ap.parse_args()
+    if not args.out:  # --stages must not clobber the variant bench
+        args.out = os.path.join(os.path.dirname(__file__), "..",
+                                "TRAINSTAGES.json" if args.stages
+                                else "TRAINBENCH.json")
 
     results = {"backend": jax.default_backend(),
                "batch_size": args.batch_size}

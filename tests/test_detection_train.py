@@ -146,3 +146,48 @@ def test_select_proposals_two_levels_distinct_boxes():
     # higher-score level-2 box first
     np.testing.assert_allclose(sel[0, 0, :2], [80, 80], atol=1e-3)
     np.testing.assert_allclose(sel[0, 1, :2], [20, 20], atol=1e-3)
+
+
+def test_rpn_nms_pre_map_ab():
+    """A/B of the rpn_nms_pre contract (reference OBBDetection config:
+    nms_pre=2000; our TPU default 512): with more GT-aligned peaks than
+    the smaller top-k admits, nms_pre=2000 recovers full proposal recall
+    while 512 caps it. Measured on this fixture: recall 512/700 = 0.731
+    at nms_pre=512 vs 1.0 at 2000 (delta +0.269 when the scene has >512
+    salient objects per level; typical DOTA tiles hold far fewer, which
+    is why 512 is an acceptable default — but the knob is exposed as
+    --rpn-nms-pre on cli/train_det.py for parity runs)."""
+    from lemevit_tpu.tasks.detection import select_proposals
+
+    n_gt = 700
+    side = 40                      # 1600 anchor positions, 1 anchor each
+    rng = np.random.default_rng(0)
+    xs, ys = np.meshgrid(np.arange(side) * 25.0 + 12.0,
+                         np.arange(side) * 25.0 + 12.0)
+    centers = np.stack([xs.ravel(), ys.ravel()], -1)
+    anchors = [jnp.asarray(np.concatenate(
+        [centers, np.full((side * side, 2), 8.0)], -1), jnp.float32)]
+    scores = np.full((1, side, side, 1), -5.0, np.float32)
+    gt_idx = rng.choice(side * side, n_gt, replace=False)
+    scores.reshape(-1)[gt_idx] = rng.uniform(5.0, 6.0, n_gt)
+    scores = [jnp.asarray(scores)]
+    deltas = [jnp.zeros((1, side, side, 6), jnp.float32)]
+
+    def recall(nms_pre):
+        sel = np.asarray(select_proposals(
+            scores, deltas, anchors, num_proposals=1024,
+            nms_pre=nms_pre, nms_thr=0.8))[0]
+        gt_centers = centers[gt_idx]
+        hit = 0
+        sel_xy = {(round(float(x), 1), round(float(y), 1))
+                  for x, y in sel[:, :2]}
+        for cx, cy in gt_centers:
+            if (round(cx, 1), round(cy, 1)) in sel_xy:
+                hit += 1
+        return hit / n_gt
+
+    r512 = recall(512)
+    r2000 = recall(2000)
+    assert r2000 >= 0.999, r2000
+    assert abs(r512 - 512 / n_gt) < 0.01, r512
+    assert r2000 > r512
