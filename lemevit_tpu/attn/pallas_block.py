@@ -233,6 +233,22 @@ _NEG_CLIP = -80.0
 _MAX_BD_ROWS = 4096
 
 
+def vmem_params():
+    """Per-kernel scoped-VMEM limit for every pallas_call in this module
+    (and pallas_train.py). XLA's 16 MB default is a COMPILER flag, not
+    hardware (v5e carries 128 MB of VMEM); CompilerParams.vmem_limit_bytes
+    lifts it per kernel so big-N stages can keep whole folded images
+    resident. The byte-model budgets (PB_S_VMEM_MB / PB_DCA_VMEM_MB /
+    PB_TRAIN_*_MB) still decide what the fold pickers accept — this only
+    moves the compile-time ceiling they are calibrated against. No-op in
+    interpret mode (CPU tests)."""
+    if _INTERPRET or not HAS_PLTPU:
+        return {}
+    mb = int(os.environ.get("PB_VMEM_LIMIT_MB", "64"))
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=mb * 1024 * 1024)}
+
+
 def _attn_rows(q, k, v, scale, num_heads, head_dim, out_dtype, mask=None,
                rowmask=None):
     """Attention on 2D (R,C)x(S,C) tiles; returns (R,C).
@@ -533,6 +549,7 @@ def _s_block_call(x, c, params, scale, num_heads, cpe=None, img_w=0):
         out_shape=[jax.ShapeDtypeStruct(x2.shape, x.dtype),
                    jax.ShapeDtypeStruct(c2.shape, c.dtype)],
         interpret=_INTERPRET,
+        **vmem_params(),
     )(x2, c2, *weights)
     return xo.reshape(x.shape), co.reshape(c.shape)
 
@@ -773,6 +790,7 @@ def _dca_rows_call(x, c, params, scale_x, scale_c, num_heads, rows,
         out_shape=[jax.ShapeDtypeStruct(x2.shape, x.dtype),
                    jax.ShapeDtypeStruct(c2.shape, c.dtype)],
         interpret=_INTERPRET,
+        **vmem_params(),
     )(x2, c2, *weights)
     return xo.reshape(x.shape), co.reshape(c.shape)
 
@@ -852,6 +870,7 @@ def _dca_block_call(x, c, params, scale_x, scale_c, num_heads, cpe=None,
             pltpu.VMEM((m, ch), jnp.float32),         # acc
         ],
         interpret=_INTERPRET,
+        **vmem_params(),
     )(x, c, *weights)
 
 
@@ -991,6 +1010,7 @@ def _c_block_call(x, c, params, scale, num_heads, cpe=None, img_w=0):
             pltpu.VMEM((m, ch), jnp.float32),         # acc
         ],
         interpret=_INTERPRET,
+        **vmem_params(),
     )(x, c, *weights)[0]
 
 

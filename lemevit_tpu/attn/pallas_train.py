@@ -244,17 +244,8 @@ _BWD_BD_ROWS = 1024
 
 
 def _compiler_params():
-    """Raised per-kernel VMEM limit for the training pallas_calls.
-    The XLA default scoped-vmem limit is 16 MB/core — a COMPILER flag,
-    not hardware (v5e has 128 MB VMEM). CompilerParams.vmem_limit_bytes
-    lifts it per kernel, letting the big-N stages keep whole images
-    resident; the byte-model budget (PB_TRAIN_BWD_MB) still bounds what
-    the pickers accept. No-op in interpret mode (CPU tests)."""
-    if _pb._INTERPRET or not HAS_PLTPU:
-        return {}
-    mb = int(os.environ.get("PB_VMEM_LIMIT_MB", "64"))
-    return {"compiler_params": pltpu.CompilerParams(
-        vmem_limit_bytes=mb * 1024 * 1024)}
+    """Raised per-kernel VMEM limit (see pallas_block.vmem_params)."""
+    return _pb.vmem_params()
 
 
 def _bwd_budget():

@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decode in N forked worker processes instead of "
                         "threads (GIL-free input pipeline; see "
                         "scripts/loaderbench.py)")
+    p.add_argument("--native-decode", action="store_true",
+                   help="C++ JPEG decode+crop plane (GIL released: thread "
+                        "workers scale across cores; falls back to PIL "
+                        "per-image for non-JPEG inputs). Incompatible "
+                        "with --aug-splits (PIL path only).")
     p.add_argument("--synthetic", action="store_true")
     # model
     p.add_argument("--model", default="lemevit_tiny")
@@ -196,15 +201,27 @@ def train(args, args_text: str = ""):
             train_tf = build_augsplit_transform(
                 args.img_size, hflip=args.hflip, auto_augment=args.aa,
                 num_splits=aug_splits)
+        elif args.native_decode:
+            from lemevit_tpu.data.transforms import \
+                build_native_train_transform
+            train_tf = build_native_train_transform(
+                args.img_size, hflip=args.hflip, auto_augment=args.aa)
         else:
             train_tf = build_train_transform(
                 args.img_size, hflip=args.hflip, auto_augment=args.aa)
+        if args.native_decode:
+            from lemevit_tpu.data.transforms import \
+                build_native_eval_transform
+            eval_tf = build_native_eval_transform(args.img_size,
+                                                  args.crop_pct)
+        else:
+            eval_tf = build_eval_transform(args.img_size, args.crop_pct)
         train_ds = create_dataset(
             args.dataset, args.data_dir, split=args.train_split,
             transform=train_tf)
         val_ds = create_dataset(
             args.dataset, args.data_dir, split=args.val_split,
-            transform=build_eval_transform(args.img_size, args.crop_pct))
+            transform=eval_tf)
     # multi-host: each process loads its shard of every batch
     device_batch = args.batch_size * mesh.shape["data"]
     proc, nproc = jax.process_index(), jax.process_count()

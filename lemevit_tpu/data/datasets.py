@@ -101,6 +101,13 @@ class ImageFolderDataset:
 
     def __getitem__(self, i):
         path, label = self.samples[i]
+        if self.transform is not None and getattr(
+                self.transform, "wants_encoded", False):
+            data = self._bytes.get(i)
+            if data is None:
+                with open(path, "rb") as f:
+                    data = f.read()
+            return self.transform(data), label
         img = _pil_open(self._bytes.get(i, path))
         if self.transform:
             img = self.transform(img)
@@ -142,6 +149,10 @@ class ManifestDataset:
 
     def __getitem__(self, i):
         path, label = self.samples[i]
+        if self.transform is not None and getattr(
+                self.transform, "wants_encoded", False):
+            with open(path, "rb") as f:
+                return self.transform(f.read()), label
         img = _pil_open(path)
         if self.transform:
             img = self.transform(img)

@@ -257,6 +257,68 @@ def build_augsplit_transform(img_size: int = 224, hflip: float = 0.5,
     return transform
 
 
+def build_native_train_transform(img_size: int = 224, hflip: float = 0.5,
+                                 auto_augment: Optional[str] =
+                                 "rand-m9-mstd0.5-inc1",
+                                 scale=(0.08, 1.0)) -> Callable:
+    """GIL-free train pipeline: JPEG decode + RRC + flip run in C++
+    (native/libleme_data.so, GIL released for the whole call) so thread
+    producers scale across cores; RandAugment (if configured) runs on the
+    already-cropped img_size image. The transform advertises
+    ``wants_encoded`` — datasets hand it raw bytes and it falls back to
+    the PIL path for non-JPEG/CMYK bytes or a missing .so."""
+    import io
+
+    from lemevit_tpu.data import native_decode as nd
+
+    ra = build_aug_policy(auto_augment)
+    pil_path = build_train_transform(img_size, hflip, auto_augment, scale)
+
+    def transform(data) -> np.ndarray:
+        if isinstance(data, (bytes, bytearray, memoryview)):
+            data = bytes(data)
+            size = nd.jpeg_size(data)
+            if size is not None:
+                box = nd.rrc_box(*size, scale=scale)
+                flip = hflip > 0 and random.random() < hflip
+                arr = nd.decode_crop(data, box, (img_size, img_size), flip)
+                if arr is not None:
+                    if ra is not None:
+                        arr = np.asarray(ra(Image.fromarray(arr)), np.uint8)
+                    return arr
+            data = Image.open(io.BytesIO(data)).convert("RGB")
+        return pil_path(data)
+
+    transform.wants_encoded = True
+    return transform
+
+
+def build_native_eval_transform(img_size: int = 224,
+                                crop_pct: float = 0.9) -> Callable:
+    """Native twin of build_eval_transform (center-crop formulated as
+    crop-then-resize; see native_decode.center_box)."""
+    import io
+
+    from lemevit_tpu.data import native_decode as nd
+
+    pil_path = build_eval_transform(img_size, crop_pct)
+
+    def transform(data) -> np.ndarray:
+        if isinstance(data, (bytes, bytearray, memoryview)):
+            data = bytes(data)
+            size = nd.jpeg_size(data)
+            if size is not None:
+                box = nd.center_box(*size, img_size, crop_pct)
+                arr = nd.decode_crop(data, box, (img_size, img_size))
+                if arr is not None:
+                    return arr
+            data = Image.open(io.BytesIO(data)).convert("RGB")
+        return pil_path(data)
+
+    transform.wants_encoded = True
+    return transform
+
+
 def build_eval_transform(img_size: int = 224,
                          crop_pct: float = 0.9) -> Callable:
     def transform(img: Image.Image) -> np.ndarray:

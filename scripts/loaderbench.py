@@ -72,6 +72,8 @@ def main():
     from lemevit_tpu.data.datasets import ImageFolderDataset
     from lemevit_tpu.data.loader import create_loader
     from lemevit_tpu.data.transforms import (build_eval_transform,
+                                             build_native_eval_transform,
+                                             build_native_train_transform,
                                              build_train_transform)
 
     results = {"img_px": args.size, "batch_size": args.batch_size,
@@ -84,7 +86,11 @@ def main():
                 ("train_aug", build_train_transform(224)),
                 ("train_noaa", build_train_transform(224,
                                                      auto_augment=None)),
-                ("eval", build_eval_transform(224))]:
+                ("eval", build_eval_transform(224)),
+                ("native_train_aug", build_native_train_transform(224)),
+                ("native_train_noaa",
+                 build_native_train_transform(224, auto_augment=None)),
+                ("native_eval", build_native_eval_transform(224))]:
             ds = ImageFolderDataset(root, transform=tf)
             per_threads = {}
             for nt in args.threads:
