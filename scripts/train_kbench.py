@@ -44,7 +44,7 @@ def fused_params(params, attn):
             w1_f, b1_f, w2, b2)
 
 
-def run_stage(st, budgets, reps):
+def run_stage(st, budgets, reps, use_cpe=False):
     from lemevit_tpu.attn import pallas_train as pt
     from lemevit_tpu.attn import reference as aref
 
@@ -64,19 +64,36 @@ def run_stage(st, budgets, reps):
     scale_x = scale_c = None
     if attn == "D":
         scale_x, scale_c = aref.dca_scales(n, M, ch)
+    img_w = int(round(n ** 0.5))
+    cpe = None
+    if use_cpe:
+        cpe = ((jax.random.normal(key, (9, ch), jnp.float32) * 0.02
+                ).astype(jnp.bfloat16),
+               jnp.zeros((ch,), jnp.bfloat16))
 
     def loss_of(pair):
         xo, co = pair
         return (jnp.sum(xo.astype(jnp.float32) ** 2)
                 + jnp.sum(co.astype(jnp.float32) ** 2)) * 1e-6
 
-    # ---- XLA baseline
+    # ---- XLA baseline (with the depthwise-3x3 CPE when --cpe)
+    def xla_cpe(xx):
+        if cpe is None:
+            return xx
+        taps, bias = cpe
+        img = xx.reshape(B, img_w, img_w, ch)
+        k = taps.reshape(3, 3, 1, ch).astype(xx.dtype)
+        y = jax.lax.conv_general_dilated(
+            img, k, (1, 1), "SAME", feature_group_count=ch,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return xx + (y + bias).reshape(B, n, ch)
+
     def xla_loss(xx, pp):
-        return loss_of(xla_block(xx, c, pp, attn, heads,
+        return loss_of(xla_block(xla_cpe(xx), c, pp, attn, heads,
                                  scale_x=scale_x, scale_c=scale_c))
 
     fwd_x = jax.jit(lambda xx, pp: loss_of(
-        xla_block(xx, c, pp, attn, heads,
+        xla_block(xla_cpe(xx), c, pp, attn, heads,
                   scale_x=scale_x, scale_c=scale_c)))
     grad_x = jax.jit(jax.grad(xla_loss, argnums=(0, 1)))
     t_fx = timeit(fwd_x, x, params, reps=reps) * 1e3
@@ -91,10 +108,12 @@ def run_stage(st, budgets, reps):
 
         def fused(xx, cc, pp):
             if attn == "S":
-                out = pt.s_block_train(xx, cc, pp, dp, num_heads=heads)
+                out = pt.s_block_train(xx, cc, pp, dp, num_heads=heads,
+                                       cpe=cpe, img_w=img_w)
             else:
                 out = pt.dca_block_train(xx, cc, pp, dp, num_heads=heads,
-                                         scale_x=scale_x, scale_c=scale_c)
+                                         scale_x=scale_x, scale_c=scale_c,
+                                         cpe=cpe, img_w=img_w)
             return out
 
         probe = fused(x, c, fp)
@@ -121,12 +140,14 @@ def main():
     ap.add_argument("--stages", default="1,2,3,4")
     ap.add_argument("--budgets", default="14.5,24,36,56")
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--cpe", action="store_true",
+                    help="include the fused 3x3 CPE (the model default)")
     args = ap.parse_args()
     budgets = [float(b) for b in args.budgets.split(",")]
     wanted = {int(s) for s in args.stages.split(",")}
     for st in STAGES:
         if st["idx"] in wanted:
-            run_stage(st, budgets, args.reps)
+            run_stage(st, budgets, args.reps, use_cpe=args.cpe)
 
 
 if __name__ == "__main__":
