@@ -13,6 +13,9 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REF_BASE_IMGS_PER_SEC = 1482.70
 
 

@@ -769,21 +769,22 @@ def _cpe_grads(x, dtu, b, n, ch, img_w, wcpe_dtype, bcpe_dtype):
     pass) cost ~18 full activation reads per block — at stage-1 scale
     (256x3136x96) that alone was ~6 ms/block of HBM traffic."""
     h = n // (img_w or 1)
-    xv = x.reshape(b, h, img_w, ch)
-    dv = dtu.reshape(b, h, img_w, ch)
+    # f32 operands: the conv-backward-filter rule requires primal input
+    # and cotangent dtypes to match (bf16 x alone TypeErrors), and f32
+    # products match the precision of the slice-reduce form this replaced
+    xv = x.reshape(b, h, img_w, ch).astype(jnp.float32)
+    dv = dtu.reshape(b, h, img_w, ch).astype(jnp.float32)
 
     def dwconv(taps):
-        k = taps.reshape(3, 3, 1, ch).astype(xv.dtype)
+        k = taps.reshape(3, 3, 1, ch)
         return jax.lax.conv_general_dilated(
             xv, k, (1, 1), "SAME", feature_group_count=ch,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     _, vjp = jax.vjp(dwconv, jnp.zeros((9, ch), jnp.float32))
-    (dtaps,) = vjp(dv.astype(jnp.float32))
+    (dtaps,) = vjp(dv)
     return (dtaps.astype(wcpe_dtype),
-            jnp.sum(dv.astype(jnp.float32), axis=(0, 1, 2)).astype(
-                bcpe_dtype))
+            jnp.sum(dv, axis=(0, 1, 2)).astype(bcpe_dtype))
 
 
 # ----- S block -----

@@ -315,3 +315,41 @@ def test_model_train_fused_matches_unfused():
                     err_msg=f"{attn_type} grad leaf {i}")
     finally:
         monkey.undo()
+
+
+@pytest.mark.fast
+def test_fused_train_grad_traces_in_bf16():
+    """bf16 dtype-path regression: the fused grad must TRACE with bf16
+    activations + CPE (the production TPU configuration). Round-3 found
+    a conv-backward-filter dtype mismatch here that fp32-only CPU tests
+    missed — this traces (interpret mode, tiny shapes) in bf16."""
+    monkey = pytest.MonkeyPatch()
+    monkey.setattr(pb, "_INTERPRET", True)
+    try:
+        key = jax.random.PRNGKey(3)
+        ks = jax.random.split(key, 12)
+        B, n, img_w = 2, 16, 4
+        bf = jnp.bfloat16
+        r = lambda i, *s: (jax.random.normal(ks[i], s, jnp.float32)
+                           * 0.1).astype(bf)
+        x = r(0, B, n, C)
+        c = r(1, B, M, C)
+        params = (r(2, C, 3 * C), r(3, 3 * C), r(4, C, C), r(5, C),
+                  r(6, C, 2 * C), r(7, 2 * C), r(8, 2 * C, C), r(9, C))
+        cpe = (r(10, 9, C), jnp.zeros((C,), bf))
+        ones = jnp.ones((B,), jnp.float32)
+        dp = (ones, ones, ones, ones)
+
+        def loss(x_, params_, cpe_):
+            out = pt.s_block_train(x_, c, params_, dp, num_heads=H,
+                                   cpe=cpe_, img_w=img_w)
+            assert out is not None
+            xo, co = out
+            return (jnp.sum(xo.astype(jnp.float32) ** 2)
+                    + jnp.sum(co.astype(jnp.float32) ** 2))
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(x, params, cpe)
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert np.isfinite(np.asarray(leaf, np.float32)).all()
+    finally:
+        monkey.undo()
