@@ -1144,3 +1144,321 @@ def dca_block_train(x, c, params, dp, *, num_heads: int, scale_x: float,
                             tuple(cpe) if cpe is not None else None,
                             tuple(dp), float(scale_x), float(scale_c),
                             num_heads, img_w))
+
+
+# ----- C block -----
+#
+# The meta-token initializer (ref models/lemevit.py:425-497 + :584-613):
+# q from the meta tokens, k/v from the (CPE-shifted) image tokens, only c
+# is updated — x passes through UNCHANGED but receives gradients through
+# the k/v projection (and the CPE taps). The MLP rides only the m=16
+# meta rows, so its backward runs in plain XLA (a few hundred KB); the
+# kernels carry the N-side work: k/v projection + thin-query attention
+# forward, and the recompute + dkv/dq/dxt backward.
+
+
+def _c_group(num_heads, head_dim, n):
+    """Head grouping for the thin-query direction: the block-diagonal
+    key expansion costs (g*n, g*d) — per-head loop beyond the Mosaic
+    row bound (same rule as the DCA backward's gc)."""
+    g = _pick_group(num_heads, head_dim)
+    return g if g * n <= _BWD_BD_ROWS else 1
+
+
+def _pick_rows_c_fwd(b, n, ch, m):
+    """C-block forward fold: x + kv transient + small c-side buffers."""
+    cp = _lanes(ch)
+    per_row = 2 * (2 * n * cp                 # x in (double-buffered)
+                   + n * _lanes(2 * ch)       # kv transient
+                   + n * cp)                  # xa / f32 peaks (approx)
+    budget = int(os.environ.get("PB_TRAIN_VMEM_MB", "8")) * 1024 * 1024
+    for r in _aligned_folds(b, n, m):
+        if per_row * r < budget:
+            return r
+    return 0
+
+
+def _pick_rows_c_bwd(b, n, ch, m, num_heads):
+    """C-block backward fold via an explicit lane-padded byte model."""
+    budget = _bwd_budget()
+    cp, cp2 = _lanes(ch), _lanes(2 * ch)
+    g = _c_group(num_heads, ch // num_heads, n)
+    w = 2 * (ch * ch + 2 * ch * ch + ch * ch)     # wq + wkv + wp
+    for r in _aligned_folds(b, n, m):
+        io = 2 * 2 * (r * n * (cp + cp + cp2)     # x in, dxt out, dkv out
+                      + r * m * 4 * cp)           # c, dt1c, dc, dq, oatt
+        kv = 2 * r * n * cp2                      # kv recompute (bf16)
+        f32 = 4 * r * n * (cp2 + cp)              # dxa + ln-bwd peak
+        scores = 12 * r * m * _lanes(g * n)       # p/dp fp32, thin query
+        if w + io + kv + f32 + scores <= budget:
+            return r
+    return 0
+
+
+def _c_train_fwd_kernel(x_ref, c_ref, dp_ref,
+                        wq_ref, bq_ref, wkv_ref, bkv_ref,
+                        wp_ref, bp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                        wcpe_ref, bcpe_ref, maskc_ref,
+                        co_ref, t1c_ref, *,
+                        scale, num_heads, head_dim, rows, n, m,
+                        use_cpe, img_w, g):
+    dtype = x_ref.dtype
+    xflat = x_ref[:]
+    if use_cpe:
+        xflat = _cpe_flat(xflat, wcpe_ref[:], bcpe_ref[0],
+                          n // img_w, img_w)
+    xa = _ln(xflat, None, None).astype(dtype)
+    kv = jax.lax.dot_general(xa, wkv_ref[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    kv = (kv + bkv_ref[0].astype(jnp.float32)).astype(dtype)
+    ca = _ln(c_ref[:], None, None).astype(dtype)
+    q = jax.lax.dot_general(ca, wq_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    q = (q + bq_ref[0].astype(jnp.float32)).astype(dtype)
+    c_dim = xflat.shape[-1]
+    oatt = _attn_dir(q, kv[:, :c_dim], kv[:, c_dim:], rows, m, n, scale,
+                     num_heads, head_dim, g,
+                     maskc_ref[:] if g > 1 else None, dtype)
+    o = jax.lax.dot_general(oatt, wp_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    t1c = c_ref[:].astype(jnp.float32) + _dp_cols(dp_ref, 2, rows, m) * (
+        o + bp_ref[0].astype(jnp.float32))
+    t1c_ref[:] = t1c.astype(dtype)
+    co_ref[:] = _mlp_fwd(t1c, _dp_cols(dp_ref, 3, rows, m), w1_ref[:],
+                         b1_ref[0], w2_ref[:], b2_ref[0],
+                         dtype).astype(dtype)
+
+
+def _c_attn_bwd_kernel(x_ref, c_ref, dp_ref,
+                       wq_ref, bq_ref, wkv_ref, bkv_ref, wp_ref,
+                       wcpe_ref, bcpe_ref, maskc_ref,
+                       dt1c_ref,
+                       dxt_ref, dc_ref, dq_ref, dkv_ref, oatt_ref, *,
+                       scale, num_heads, head_dim, rows, n, m,
+                       use_cpe, img_w, g):
+    """C-block attention backward: recompute q/k/v, run the thin-query
+    attention backward per (row, head-group), and emit the data grads
+    (dxt PRE-CPE-transpose, dc) plus the dq/dkv/oatt streams for the XLA
+    weight-grad einsums."""
+    dtype = x_ref.dtype
+    xflat = x_ref[:]
+    if use_cpe:
+        xflat = _cpe_flat(xflat, wcpe_ref[:], bcpe_ref[0],
+                          n // img_w, img_w)
+    xa = _ln(xflat, None, None).astype(dtype)
+    kv = jax.lax.dot_general(xa, wkv_ref[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    kv = (kv + bkv_ref[0].astype(jnp.float32)).astype(dtype)
+    cflat = c_ref[:]
+    ca = _ln(cflat, None, None).astype(dtype)
+    q = jax.lax.dot_general(ca, wq_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    q = (q + bq_ref[0].astype(jnp.float32)).astype(dtype)
+    c_dim = xflat.shape[-1]
+    k = kv[:, :c_dim]
+    v = kv[:, c_dim:]
+    dt1 = dt1c_ref[:].astype(jnp.float32)
+    do = (_dp_cols(dp_ref, 2, rows, m) * dt1).astype(dtype)
+    doatt = jax.lax.dot_general(do, wp_ref[:], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    mask = maskc_ref[:] if g > 1 else None
+    for r in range(rows):
+        qs = slice(r * m, (r + 1) * m)
+        ks = slice(r * n, (r + 1) * n)
+        for h0 in range(0, num_heads, g):
+            lo, hi = h0 * head_dim, (h0 + g) * head_dim
+            gs = slice(lo, hi)
+            o, dqg, dkg, dvg = _attn_grp_bwd(
+                doatt[qs, gs], q[qs, gs], k[ks, gs], v[ks, gs],
+                scale, head_dim, mask)
+            oatt_ref[qs, gs] = o.astype(dtype)
+            dq_ref[qs, gs] = dqg.astype(dtype)
+            dkv_ref[ks, lo:hi] = dkg.astype(dtype)
+            dkv_ref[ks, c_dim + lo:c_dim + hi] = dvg.astype(dtype)
+    # dc: residual + q-projection path through the (folded) LN
+    dca = jax.lax.dot_general(dq_ref[:], wq_ref[:],
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dc_ref[:] = (dt1 + _ln_bwd(dca, cflat)).astype(dtype)
+    # dxt: k/v-projection path (x has no residual through this block)
+    dxa = jax.lax.dot_general(dkv_ref[:], wkv_ref[:],
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dxt_ref[:] = _ln_bwd(dxa, xflat).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "num_heads",
+                                              "img_w", "use_cpe"))
+def _c_train_fwd_call(x, c, params, cpe, dp, scale, num_heads, img_w,
+                      use_cpe):
+    b, n, ch = x.shape
+    m = c.shape[1]
+    d = ch // num_heads
+    (wq, bq, wkv, bkv, wp, bp, w1, b1, w2, b2) = params
+    rows = _pick_rows_c_fwd(b, n, ch, m)
+    g = _c_group(num_heads, d, n)
+    dummy = jnp.zeros((8, 128), x.dtype)
+    maskc = _bd_mask(n, g, d, x.dtype) if g > 1 else dummy
+    wcpe, bcpe = _cpe_arrays(cpe, ch, x.dtype)
+    dparr = jnp.stack(dp).astype(jnp.float32)
+    weights = [wq, _row(bq), wkv, _row(bkv), wp, _row(bp),
+               w1, _row(b1), w2, _row(b2), wcpe, bcpe, maskc]
+    kernel = functools.partial(
+        _c_train_fwd_kernel, scale=float(scale), num_heads=num_heads,
+        head_dim=d, rows=rows, n=n, m=m, use_cpe=use_cpe,
+        img_w=img_w or 1, g=g)
+    x2 = x.reshape(b * n, ch)
+    c2 = c.reshape(b * m, ch)
+    x_spec, c_spec, dp_spec, w_specs = _fwd_specs(b, n, m, ch, rows,
+                                                  weights)
+    sd = lambda r_, c_: jax.ShapeDtypeStruct((r_, c_), x.dtype)
+    co, t1c = pl.pallas_call(
+        kernel,
+        grid=(b // rows,),
+        in_specs=[x_spec, c_spec, dp_spec] + w_specs,
+        out_specs=[c_spec, c_spec],
+        out_shape=[sd(b * m, ch), sd(b * m, ch)],
+        interpret=_pb._INTERPRET,
+        **_compiler_params(),
+    )(x2, c2, dparr, *weights)
+    return co.reshape(c.shape), t1c
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "num_heads",
+                                              "img_w", "use_cpe"))
+def _c_train_bwd_call(x, c, params, cpe, dp, t1c, dco, scale, num_heads,
+                      img_w, use_cpe):
+    b, n, ch = x.shape
+    m = c.shape[1]
+    d = ch // num_heads
+    (wq, bq, wkv, bkv, wp, bp, w1, b1, w2, b2) = params
+    rows = _pick_rows_c_bwd(b, n, ch, m, num_heads)
+    g = _c_group(num_heads, d, n)
+    dummy = jnp.zeros((8, 128), x.dtype)
+    maskc = _bd_mask(n, g, d, x.dtype) if g > 1 else dummy
+    wcpe, bcpe = _cpe_arrays(cpe, ch, x.dtype)
+    dparr = jnp.stack(dp).astype(jnp.float32)
+    dco2 = dco.reshape(b * m, ch)
+    f32 = jnp.float32
+    fast = x.dtype == jnp.bfloat16
+
+    # MLP backward in plain XLA — the c stream is (B*16, C)
+    dzc = _xla_do(dco2, dparr[3], m, x.dtype)
+    mc = _xla_norm(t1c, x.dtype)
+    yc = jax.lax.dot_general(mc, w1, (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32) + b1.astype(f32)
+    gc = _gelu(yc, fast=fast).astype(x.dtype)
+    dgg = jax.lax.dot_general(dzc, w2, (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)
+    dyc = (dgg * _gelu_grad(yc, fast)).astype(x.dtype)
+    dmm = jax.lax.dot_general(dyc, w1, (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)
+    t132 = t1c.astype(f32)
+    mu = jnp.mean(t132, -1, keepdims=True)
+    var = jnp.mean(jnp.square(t132 - mu), -1, keepdims=True)
+    inv = jax.lax.rsqrt(var + _EPS)
+    th = (t132 - mu) * inv
+    mdm = jnp.mean(dmm, -1, keepdims=True)
+    mdt = jnp.mean(dmm * th, -1, keepdims=True)
+    dt1c = (dco2.astype(f32)
+            + inv * (dmm - mdm - th * mdt)).astype(x.dtype)
+
+    # attention backward kernel
+    weights = [wq, _row(bq), wkv, _row(bkv), wp, wcpe, bcpe, maskc]
+    kernel = functools.partial(
+        _c_attn_bwd_kernel, scale=float(scale), num_heads=num_heads,
+        head_dim=d, rows=rows, n=n, m=m, use_cpe=use_cpe,
+        img_w=img_w or 1, g=g)
+    x2 = x.reshape(b * n, ch)
+    c2 = c.reshape(b * m, ch)
+    x_spec, c_spec, dp_spec, w_specs = _fwd_specs(b, n, m, ch, rows,
+                                                  weights)
+    x2_spec = pl.BlockSpec((rows * n, 2 * ch), lambda bi: (bi, 0),
+                           memory_space=pltpu.VMEM)
+    sd = lambda r_, c_: jax.ShapeDtypeStruct((r_, c_), x.dtype)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b // rows,),
+        in_specs=[x_spec, c_spec, dp_spec] + w_specs + [c_spec],
+        out_specs=[x_spec, c_spec, c_spec, x2_spec, c_spec],
+        out_shape=[sd(b * n, ch), sd(b * m, ch), sd(b * m, ch),
+                   sd(b * n, 2 * ch), sd(b * m, ch)],
+        interpret=_pb._INTERPRET,
+        **_compiler_params(),
+    )(x2, c2, dparr, *weights, dt1c)
+    (dxt, dc2, dq, dkv, oatt) = outs
+
+    ein = lambda a_, b_: jax.lax.dot_general(
+        a_, b_, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    colsum = lambda t: jnp.sum(t.astype(f32), axis=0)
+    dw1 = ein(mc, dyc)
+    db1 = colsum(dyc)
+    dw2 = ein(gc, dzc)
+    db2 = colsum(dzc)
+    doc = _xla_do(dt1c, dparr[2], m, x.dtype)
+    ax = _xla_norm(_xla_cpe(x, cpe if use_cpe else None, b, n, ch,
+                            img_w), x.dtype).reshape(b * n, ch)
+    ac = _xla_norm(c, x.dtype).reshape(b * m, ch)
+    dwq = ein(ac, dq)
+    dbq = colsum(dq)
+    dwkv = ein(ax, dkv)
+    dbkv = colsum(dkv)
+    dwp = ein(oatt, doc)
+    dbp = colsum(doc)
+    dparams = (dwq.astype(wq.dtype), dbq.astype(bq.dtype),
+               dwkv.astype(wkv.dtype), dbkv.astype(bkv.dtype),
+               dwp.astype(wp.dtype), dbp.astype(bp.dtype),
+               dw1.astype(w1.dtype), db1.astype(b1.dtype),
+               dw2.astype(w2.dtype), db2.astype(b2.dtype))
+    dx2 = _xla_cpe_t(dxt, cpe, b, n, ch, img_w) if use_cpe else dxt
+    dcpe = (_cpe_grads(x, dxt, b, n, ch, img_w, wcpe.dtype, bcpe.dtype)
+            if use_cpe else None)
+    return (dx2.reshape(x.shape), dc2.reshape(c.shape), dparams, dcpe)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _c_train(x, c, params, cpe, dp, scale, num_heads, img_w):
+    co, _ = _c_train_fwd_call(x, c, params, cpe, dp, scale, num_heads,
+                              img_w, cpe is not None)
+    return co
+
+
+def _c_train_fwd_rule(x, c, params, cpe, dp, scale, num_heads, img_w):
+    co, t1c = _c_train_fwd_call(x, c, params, cpe, dp, scale, num_heads,
+                                img_w, cpe is not None)
+    return co, (x, c, params, cpe, dp, t1c)
+
+
+def _c_train_bwd_rule(scale, num_heads, img_w, res, dco):
+    x, c, params, cpe, dp, t1c = res
+    dx, dc, dparams, dcpe = _c_train_bwd_call(
+        x, c, params, cpe, dp, t1c, dco.astype(c.dtype), scale,
+        num_heads, img_w, cpe is not None)
+    ddp = tuple(jnp.zeros_like(s) for s in dp)
+    return (dx, dc, dparams, dcpe, ddp)
+
+
+_c_train.defvjp(_c_train_fwd_rule, _c_train_bwd_rule)
+
+
+def c_block_train(x, c, params, dp, *, num_heads: int, cpe=None,
+                  img_w: int = 0):
+    """Fused C-type LeMeBlock TRAINING step (differentiable): returns
+    the new c only — x passes through unchanged in the block but gets
+    gradients through the k/v projection (and CPE taps when fused).
+    params = LN-folded 10-tuple (Wq', bq', Wkv', bkv', Wp, bp, W1', b1',
+    W2, b2); dp as in s_block_train (only the c-stream scales, indices
+    2/3, are used). Returns None when the shape doesn't qualify."""
+    if not HAS_PLTPU:
+        return None
+    b, n, ch = x.shape
+    m = c.shape[1]
+    if ch % num_heads != 0 or m % 8 != 0 or n > 4096:
+        return None
+    if (_pick_rows_c_fwd(b, n, ch, m) == 0
+            or _pick_rows_c_bwd(b, n, ch, m, num_heads) == 0):
+        return None
+    scale = (ch // num_heads) ** -0.5
+    return _c_train(x, c, tuple(params),
+                    tuple(cpe) if cpe is not None else None,
+                    tuple(dp), float(scale), num_heads, img_w)

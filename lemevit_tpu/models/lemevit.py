@@ -211,7 +211,7 @@ class LeMeBlock(nn.Module):
         XLA autodiff. Returns None to fall back to the XLA composition
         (C blocks, unsupported shapes, or stage-1-scale D backward that
         exceeds the VMEM budget)."""
-        if self.attn_type not in ("S", "D") or not self._fusable(True):
+        if self.attn_type not in ("S", "D", "C") or not self._fusable(True):
             return None
         from lemevit_tpu.attn import pallas_block, pallas_train
         from lemevit_tpu.attn import reference as aref
@@ -220,6 +220,32 @@ class LeMeBlock(nn.Module):
             dt = self.dtype
             cpe = self._cpe_weights(v)
             dp = self._dp_scales(x.shape[0])
+            if self.attn_type == "C":
+                # x passes through unchanged (k/v-side grads still flow)
+                wq_f, bq_f = pallas_block._fold_ln(
+                    v["norm1"]["scale"], v["norm1"]["bias"],
+                    v["attn"]["q"]["kernel"].astype(dt),
+                    v["attn"]["q"]["bias"].astype(dt))
+                wkv_f, bkv_f = pallas_block._fold_ln(
+                    v["norm1"]["scale"], v["norm1"]["bias"],
+                    v["attn"]["kv"]["kernel"].astype(dt),
+                    v["attn"]["kv"]["bias"].astype(dt))
+                w1_f, b1_f = pallas_block._fold_ln(
+                    v["norm2"]["scale"], v["norm2"]["bias"],
+                    v["mlp"]["fc1"]["kernel"].astype(dt),
+                    v["mlp"]["fc1"]["bias"].astype(dt))
+                params = (wq_f, bq_f, wkv_f, bkv_f,
+                          v["attn"]["proj"]["kernel"].astype(dt),
+                          v["attn"]["proj"]["bias"].astype(dt),
+                          w1_f, b1_f,
+                          v["mlp"]["fc2"]["kernel"].astype(dt),
+                          v["mlp"]["fc2"]["bias"].astype(dt))
+                c_new = pallas_train.c_block_train(
+                    x, c, params, dp, num_heads=self.num_heads,
+                    cpe=cpe, img_w=img_w)
+                if c_new is None:
+                    return None
+                return x, c_new
             if self.attn_type == "S":
                 wqkv_f, bqkv_f = pallas_block._fold_ln(
                     v["norm1"]["scale"], v["norm1"]["bias"],

@@ -35,6 +35,13 @@ def fused_params(params, attn):
         wqkv_f, bqkv_f = pb._fold_ln(ln1s, ln1b, wqkv, bqkv)
         w1_f, b1_f = pb._fold_ln(ln2s, ln2b, w1, b1)
         return (wqkv_f, bqkv_f, wp, bp, w1_f, b1_f, w2, b2)
+    if attn == "C":
+        (ln1s, ln1b, wq, bq, wkv, bkv, wp, bp, ln2s, ln2b,
+         w1, b1, w2, b2) = params
+        wq_f, bq_f = pb._fold_ln(ln1s, ln1b, wq, bq)
+        wkv_f, bkv_f = pb._fold_ln(ln1s, ln1b, wkv, bkv)
+        w1_f, b1_f = pb._fold_ln(ln2s, ln2b, w1, b1)
+        return (wq_f, bq_f, wkv_f, bkv_f, wp, bp, w1_f, b1_f, w2, b2)
     (ln1s, ln1b, wqkv1, bqkv1, wqkv2, bqkv2, wpx, bpx, wpc, bpc,
      ln2s, ln2b, w1, b1, w2, b2) = params
     wq1_f, bq1_f = pb._fold_ln(ln1s, ln1b, wqkv1, bqkv1)
@@ -44,14 +51,11 @@ def fused_params(params, attn):
             w1_f, b1_f, w2, b2)
 
 
-def run_stage(st, budgets, reps, use_cpe=False):
+def run_stage(st, budgets, reps, use_cpe=False, ext_cpe=False):
     from lemevit_tpu.attn import pallas_train as pt
     from lemevit_tpu.attn import reference as aref
 
     n, ch, heads, attn = st["n"], st["c"], st["heads"], st["attn"]
-    if attn == "C":
-        print(f"stage{st['idx']}: C block (no fused train path), skipped")
-        return
     key = jax.random.PRNGKey(0)
     x = (jax.random.normal(key, (B, n, ch), jnp.float32) * 0.5
          ).astype(jnp.bfloat16)
@@ -71,8 +75,10 @@ def run_stage(st, budgets, reps, use_cpe=False):
                 ).astype(jnp.bfloat16),
                jnp.zeros((ch,), jnp.bfloat16))
 
-    def loss_of(pair):
-        xo, co = pair
+    def loss_of(out):
+        if not isinstance(out, tuple):
+            return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-6
+        xo, co = out
         return (jnp.sum(xo.astype(jnp.float32) ** 2)
                 + jnp.sum(co.astype(jnp.float32) ** 2)) * 1e-6
 
@@ -107,13 +113,19 @@ def run_stage(st, budgets, reps, use_cpe=False):
         os.environ["PB_TRAIN_BWD_MB"] = str(budget)
 
         def fused(xx, cc, pp):
+            kcpe = None if ext_cpe else cpe
+            if ext_cpe:  # external XLA dwconv, fused kernels CPE-free
+                xx = xla_cpe(xx)
             if attn == "S":
                 out = pt.s_block_train(xx, cc, pp, dp, num_heads=heads,
-                                       cpe=cpe, img_w=img_w)
+                                       cpe=kcpe, img_w=img_w)
+            elif attn == "C":
+                out = pt.c_block_train(xx, cc, pp, dp, num_heads=heads,
+                                       cpe=kcpe, img_w=img_w)
             else:
                 out = pt.dca_block_train(xx, cc, pp, dp, num_heads=heads,
                                          scale_x=scale_x, scale_c=scale_c,
-                                         cpe=cpe, img_w=img_w)
+                                         cpe=kcpe, img_w=img_w)
             return out
 
         probe = fused(x, c, fp)
@@ -142,12 +154,17 @@ def main():
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--cpe", action="store_true",
                     help="include the fused 3x3 CPE (the model default)")
+    ap.add_argument("--cpe-ext", action="store_true",
+                    help="CPE as an external XLA dwconv; fused kernels "
+                         "run CPE-free (candidate training default)")
     args = ap.parse_args()
     budgets = [float(b) for b in args.budgets.split(",")]
     wanted = {int(s) for s in args.stages.split(",")}
     for st in STAGES:
         if st["idx"] in wanted:
-            run_stage(st, budgets, args.reps, use_cpe=args.cpe)
+            run_stage(st, budgets, args.reps,
+                      use_cpe=args.cpe or args.cpe_ext,
+                      ext_cpe=args.cpe_ext)
 
 
 if __name__ == "__main__":
