@@ -213,12 +213,29 @@ class LeMeBlock(nn.Module):
         exceeds the VMEM budget)."""
         if self.attn_type not in ("S", "D", "C") or not self._fusable(True):
             return None
+        import os
         from lemevit_tpu.attn import pallas_block, pallas_train
         from lemevit_tpu.attn import reference as aref
         try:
             v = self.variables["params"]
             dt = self.dtype
-            cpe = self._cpe_weights(v)
+            # CPE placement for TRAINING: external XLA dwconv by default —
+            # the in-kernel CPE costs the fused BACKWARD ~6x what XLA's
+            # autodiff pays (train_kbench on v5e, base stage1: grad 30.3
+            # ms/block external vs 36.5 in-kernel vs 40.7 unfused).
+            # PB_TRAIN_CPE=fused restores the in-kernel placement. Also
+            # lets non-3x3 CPE sizes use the fused train path.
+            ext_cpe = (os.environ.get("PB_TRAIN_CPE", "ext") != "fused"
+                       and self.cpe_ks > 0)
+            if ext_cpe:
+                cpe = None
+                b_, n_, ch_ = x.shape
+                xt = self._cpe(
+                    x.reshape(b_, n_ // img_w, img_w, ch_)
+                ).reshape(b_, n_, ch_)
+            else:
+                cpe = self._cpe_weights(v)
+                xt = x
             dp = self._dp_scales(x.shape[0])
             if self.attn_type == "C":
                 # x passes through unchanged (k/v-side grads still flow)
@@ -241,7 +258,7 @@ class LeMeBlock(nn.Module):
                           v["mlp"]["fc2"]["kernel"].astype(dt),
                           v["mlp"]["fc2"]["bias"].astype(dt))
                 c_new = pallas_train.c_block_train(
-                    x, c, params, dp, num_heads=self.num_heads,
+                    xt, c, params, dp, num_heads=self.num_heads,
                     cpe=cpe, img_w=img_w)
                 if c_new is None:
                     return None
@@ -262,7 +279,7 @@ class LeMeBlock(nn.Module):
                           v["mlp"]["fc2"]["kernel"].astype(dt),
                           v["mlp"]["fc2"]["bias"].astype(dt))
                 return pallas_train.s_block_train(
-                    x, c, params, dp, num_heads=self.num_heads,
+                    xt, c, params, dp, num_heads=self.num_heads,
                     cpe=cpe, img_w=img_w)
             scale_x, scale_c = aref.dca_scales(x.shape[1], c.shape[1],
                                                x.shape[2])
@@ -287,7 +304,7 @@ class LeMeBlock(nn.Module):
                       v["mlp"]["fc2"]["kernel"].astype(dt),
                       v["mlp"]["fc2"]["bias"].astype(dt))
             return pallas_train.dca_block_train(
-                x, c, params, dp, num_heads=self.num_heads,
+                xt, c, params, dp, num_heads=self.num_heads,
                 scale_x=scale_x, scale_c=scale_c, cpe=cpe, img_w=img_w)
         except (KeyError, TypeError, LookupError):
             return None
