@@ -43,15 +43,36 @@ def _load() -> Optional[ctypes.CDLL]:
         return None
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
+    crop_args = [u8p, ctypes.c_int,
+                 ctypes.c_float, ctypes.c_float, ctypes.c_float,
+                 ctypes.c_float,
+                 ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p]
     lib.leme_jpeg_size.restype = ctypes.c_int
     lib.leme_jpeg_size.argtypes = [u8p, ctypes.c_int, i32p, i32p]
     lib.leme_jpeg_decode_crop.restype = ctypes.c_int
-    lib.leme_jpeg_decode_crop.argtypes = [
-        u8p, ctypes.c_int,
-        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p]
+    lib.leme_jpeg_decode_crop.argtypes = crop_args
+    try:
+        lib.leme_png_size.restype = ctypes.c_int
+        lib.leme_png_size.argtypes = [u8p, ctypes.c_int, i32p, i32p]
+        lib.leme_png_decode_crop.restype = ctypes.c_int
+        lib.leme_png_decode_crop.argtypes = crop_args
+    except AttributeError:  # stale pre-PNG .so on disk
+        pass
     _lib = lib
     return _lib
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _codec(lib, data: bytes):
+    """(size_fn, decode_fn) for these bytes, or None for neither codec."""
+    if len(data) >= 4 and data[:2] == b"\xff\xd8":
+        return lib.leme_jpeg_size, lib.leme_jpeg_decode_crop
+    if (data[:8] == _PNG_MAGIC
+            and hasattr(lib, "leme_png_size")):
+        return lib.leme_png_size, lib.leme_png_decode_crop
+    return None
 
 
 def available() -> bool:
@@ -63,30 +84,40 @@ def _u8p(buf: bytes):
 
 
 def jpeg_size(data: bytes) -> Optional[Tuple[int, int]]:
-    """(width, height) from the JPEG header alone, or None."""
+    """(width, height) from the image header alone (JPEG or PNG), or
+    None. Keeps its historical name; PNG support rode in later."""
     lib = _load()
-    if lib is None or len(data) < 4 or data[:2] != b"\xff\xd8":
+    if lib is None or len(data) < 8:
+        return None
+    codec = _codec(lib, data)
+    if codec is None:
         return None
     w = ctypes.c_int32(0)
     h = ctypes.c_int32(0)
-    if lib.leme_jpeg_size(_u8p(data), len(data),
-                          ctypes.byref(w), ctypes.byref(h)) != 0:
+    if codec[0](_u8p(data), len(data),
+                ctypes.byref(w), ctypes.byref(h)) != 0:
         return None
     return int(w.value), int(h.value)
+
+
+image_size = jpeg_size
 
 
 def decode_crop(data: bytes, box: Tuple[float, float, float, float],
                 out_size: Tuple[int, int],
                 hflip: bool = False) -> Optional[np.ndarray]:
-    """Decode JPEG bytes, crop box=(x0, y0, cw, ch) in original coords,
-    bicubic-resample to out_size=(w, h) u8 RGB HWC. None => caller must
-    fall back to PIL (non-JPEG, CMYK, corrupt)."""
+    """Decode JPEG/PNG bytes, crop box=(x0, y0, cw, ch) in original
+    coords, bicubic-resample to out_size=(w, h) u8 RGB HWC. None =>
+    caller must fall back to PIL (other formats, CMYK, corrupt)."""
     lib = _load()
-    if lib is None or len(data) < 4 or data[:2] != b"\xff\xd8":
+    if lib is None or len(data) < 8:
+        return None
+    codec = _codec(lib, data)
+    if codec is None:
         return None
     ow, oh = out_size
     out = np.empty((oh, ow, 3), np.uint8)
-    rc = lib.leme_jpeg_decode_crop(
+    rc = codec[1](
         _u8p(data), len(data),
         float(box[0]), float(box[1]), float(box[2]), float(box[3]),
         int(ow), int(oh), int(bool(hflip)),

@@ -21,6 +21,7 @@
 #include <cstdio>
 
 #include <jpeglib.h>
+#include <png.h>
 
 #include <algorithm>
 #include <cmath>
@@ -91,6 +92,63 @@ Plan make_plan(float box0, float box_len, int in_limit, int out_len) {
 
 inline uint8_t clamp_u8(float v) {
   return static_cast<uint8_t>(std::min(255.f, std::max(0.f, v + 0.5f)));
+}
+
+// Shared crop+bicubic-resample from a decoded RGB u8 buffer (W x H x 3),
+// box in the buffer's coordinate system. Writes (out_h, out_w, 3).
+void resample_crop(const uint8_t* img, int W, int H, float x0, float y0,
+                   float cw, float ch, int out_w, int out_h, int hflip,
+                   uint8_t* out) {
+  Plan px = make_plan(x0, cw, W, out_w);
+  Plan py = make_plan(y0, ch, H, out_h);
+  int ry0 = H, ry1 = 0;
+  for (int i = 0; i < out_h; ++i) {
+    ry0 = std::min(ry0, py.start[i]);
+    ry1 = std::max(ry1, py.start[i] + py.k);
+  }
+  ry0 = std::max(0, ry0);
+  ry1 = std::min(H, ry1);
+  if (ry0 >= ry1) { ry0 = 0; ry1 = std::min(1, H); }
+  std::vector<float> tmp(static_cast<size_t>(ry1 - ry0) * out_w * 3);
+  for (int y = ry0; y < ry1; ++y) {
+    const uint8_t* src = img + static_cast<size_t>(y) * W * 3;
+    float* dst = tmp.data() + static_cast<size_t>(y - ry0) * out_w * 3;
+    for (int i = 0; i < out_w; ++i) {
+      const float* wrow = &px.w[static_cast<size_t>(i) * px.k];
+      float acc0 = 0.f, acc1 = 0.f, acc2 = 0.f;
+      const int s0 = px.start[i];
+      for (int t = 0; t < px.k; ++t) {
+        int xx = std::min(W - 1, std::max(0, s0 + t));
+        const uint8_t* p = src + xx * 3;
+        acc0 += wrow[t] * p[0];
+        acc1 += wrow[t] * p[1];
+        acc2 += wrow[t] * p[2];
+      }
+      dst[i * 3 + 0] = acc0;
+      dst[i * 3 + 1] = acc1;
+      dst[i * 3 + 2] = acc2;
+    }
+  }
+  for (int j = 0; j < out_h; ++j) {
+    const float* wrow = &py.w[static_cast<size_t>(j) * py.k];
+    const int s0 = py.start[j];
+    uint8_t* dst = out + static_cast<size_t>(j) * out_w * 3;
+    for (int i = 0; i < out_w; ++i) {
+      float acc0 = 0.f, acc1 = 0.f, acc2 = 0.f;
+      for (int t = 0; t < py.k; ++t) {
+        int yy = std::min(ry1 - 1, std::max(ry0, s0 + t)) - ry0;
+        const float* p = tmp.data() +
+            (static_cast<size_t>(yy) * out_w + i) * 3;
+        acc0 += wrow[t] * p[0];
+        acc1 += wrow[t] * p[1];
+        acc2 += wrow[t] * p[2];
+      }
+      const int oi = hflip ? (out_w - 1 - i) : i;
+      dst[oi * 3 + 0] = clamp_u8(acc0);
+      dst[oi * 3 + 1] = clamp_u8(acc1);
+      dst[oi * 3 + 2] = clamp_u8(acc2);
+    }
+  }
 }
 
 }  // namespace
@@ -177,63 +235,42 @@ int leme_jpeg_decode_crop(const uint8_t* buf, int len, float x0, float y0,
 
   // crop box in scaled coords
   const float s = 1.f / static_cast<float>(denom);
-  Plan px = make_plan(x0 * s, cw * s, W, out_w);
-  Plan py = make_plan(y0 * s, ch * s, H, out_h);
+  resample_crop(img.data(), W, H, x0 * s, y0 * s, cw * s, ch * s,
+                out_w, out_h, hflip, out);
+  return 0;
+}
 
-  // horizontal pass: (H, W, 3) -> (H, out_w, 3) restricted to the rows
-  // the vertical pass will touch
-  int ry0 = W, ry1 = 0;  // row range needed
-  {
-    int lo = H, hi = 0;
-    for (int i = 0; i < out_h; ++i) {
-      lo = std::min(lo, py.start[i]);
-      hi = std::max(hi, py.start[i] + py.k);
-    }
-    ry0 = std::max(0, lo);
-    ry1 = std::min(H, hi);
-    if (ry0 >= ry1) { ry0 = 0; ry1 = std::min(1, H); }
+// PNG header probe (the CD datasets are PNG pairs).
+int leme_png_size(const uint8_t* buf, int len, int* w, int* h) {
+  png_image pimg;
+  std::memset(&pimg, 0, sizeof(pimg));
+  pimg.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&pimg, buf, len)) return 1;
+  *w = pimg.width;
+  *h = pimg.height;
+  png_image_free(&pimg);
+  return 0;
+}
+
+// PNG decode (libpng simplified API, forced RGB u8) + shared
+// crop/bicubic-resample. No scaled decode (PNG has none), so large
+// sources pay a full decode — still GIL-free.
+int leme_png_decode_crop(const uint8_t* buf, int len, float x0, float y0,
+                         float cw, float ch, int out_w, int out_h,
+                         int hflip, uint8_t* out) {
+  if (out_w <= 0 || out_h <= 0 || cw <= 0.f || ch <= 0.f) return 2;
+  png_image pimg;
+  std::memset(&pimg, 0, sizeof(pimg));
+  pimg.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&pimg, buf, len)) return 1;
+  pimg.format = PNG_FORMAT_RGB;
+  std::vector<uint8_t> img(PNG_IMAGE_SIZE(pimg));
+  if (!png_image_finish_read(&pimg, nullptr, img.data(), 0, nullptr)) {
+    png_image_free(&pimg);
+    return 1;
   }
-  std::vector<float> tmp(static_cast<size_t>(ry1 - ry0) * out_w * 3);
-  for (int y = ry0; y < ry1; ++y) {
-    const uint8_t* src = img.data() + static_cast<size_t>(y) * W * 3;
-    float* dst = tmp.data() + static_cast<size_t>(y - ry0) * out_w * 3;
-    for (int i = 0; i < out_w; ++i) {
-      const float* wrow = &px.w[static_cast<size_t>(i) * px.k];
-      float acc0 = 0.f, acc1 = 0.f, acc2 = 0.f;
-      const int s0 = px.start[i];
-      for (int t = 0; t < px.k; ++t) {
-        int xx = std::min(W - 1, std::max(0, s0 + t));
-        const uint8_t* p = src + xx * 3;
-        acc0 += wrow[t] * p[0];
-        acc1 += wrow[t] * p[1];
-        acc2 += wrow[t] * p[2];
-      }
-      dst[i * 3 + 0] = acc0;
-      dst[i * 3 + 1] = acc1;
-      dst[i * 3 + 2] = acc2;
-    }
-  }
-  // vertical pass -> out, with optional horizontal mirror
-  for (int j = 0; j < out_h; ++j) {
-    const float* wrow = &py.w[static_cast<size_t>(j) * py.k];
-    const int s0 = py.start[j];
-    uint8_t* dst = out + static_cast<size_t>(j) * out_w * 3;
-    for (int i = 0; i < out_w; ++i) {
-      float acc0 = 0.f, acc1 = 0.f, acc2 = 0.f;
-      for (int t = 0; t < py.k; ++t) {
-        int yy = std::min(ry1 - 1, std::max(ry0, s0 + t)) - ry0;
-        const float* p = tmp.data() +
-            (static_cast<size_t>(yy) * out_w + i) * 3;
-        acc0 += wrow[t] * p[0];
-        acc1 += wrow[t] * p[1];
-        acc2 += wrow[t] * p[2];
-      }
-      const int oi = hflip ? (out_w - 1 - i) : i;
-      dst[oi * 3 + 0] = clamp_u8(acc0);
-      dst[oi * 3 + 1] = clamp_u8(acc1);
-      dst[oi * 3 + 2] = clamp_u8(acc2);
-    }
-  }
+  resample_crop(img.data(), pimg.width, pimg.height, x0, y0, cw, ch,
+                out_w, out_h, hflip, out);
   return 0;
 }
 

@@ -96,16 +96,49 @@ def test_decode_grayscale_jpeg():
     assert np.abs(out[..., 0].astype(int) - out[..., 1].astype(int)).max() <= 1
 
 
-def test_native_train_transform_png_fallback():
-    """Non-JPEG bytes route through the PIL path transparently."""
+def test_native_train_transform_unknown_format_fallback():
+    """Bytes neither codec understands route through the PIL path."""
     from lemevit_tpu.data.transforms import build_native_train_transform
     img = _smooth_image(100, 100, seed=4)
     buf = io.BytesIO()
-    img.save(buf, "PNG")
+    img.save(buf, "BMP")
     tf = build_native_train_transform(64, hflip=0.0, auto_augment=None)
     assert getattr(tf, "wants_encoded", False)
     out = tf(buf.getvalue())
     assert out.shape == (64, 64, 3) and out.dtype == np.uint8
+
+
+@needs_native
+def test_png_decode_crop_matches_pil():
+    """PNG (lossless) decodes must track PIL's crop+bicubic closely —
+    only resampler differences remain, no codec noise."""
+    img = _smooth_image(300, 220, seed=8)
+    buf = io.BytesIO()
+    img.save(buf, "PNG")
+    data = buf.getvalue()
+    assert nd.image_size(data) == (300, 220)
+    box = (15.0, 10.0, 256.0, 192.0)
+    out = nd.decode_crop(data, box, (128, 128))
+    assert out is not None and out.shape == (128, 128, 3)
+    ref = np.asarray(
+        img.resize((128, 128), Image.BICUBIC,
+                   box=(box[0], box[1], box[0] + box[2], box[1] + box[3])),
+        np.uint8)
+    diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+    assert diff.mean() < 1.5, diff.mean()
+
+
+@needs_native
+def test_png_rgba_and_gray_decode():
+    """Palette/alpha/gray PNGs all land as RGB u8 via libpng's
+    format conversion."""
+    rgba = _smooth_image(64, 64, seed=9).convert("RGBA")
+    gray = _smooth_image(64, 64, seed=10).convert("L")
+    for img in (rgba, gray):
+        buf = io.BytesIO()
+        img.save(buf, "PNG")
+        out = nd.decode_crop(buf.getvalue(), (0, 0, 64, 64), (32, 32))
+        assert out is not None and out.shape == (32, 32, 3)
 
 
 @needs_native
