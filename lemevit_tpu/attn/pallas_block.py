@@ -410,17 +410,35 @@ def _s_block_kernel(x_ref, c_ref,
     (a free XLA view), because the in-kernel (rows,N,C)->(rows*N,C) reshape
     is what crashed the Mosaic compiler at C=320 and large folds."""
     dtype = x_ref.dtype
-    ew = dtype if _EW else jnp.float32
-    c_dim = x_ref.shape[-1]
-    # LN1/LN2 affines arrive pre-FOLDED into wqkv/bqkv and w1/b1 (see
-    # _fold_ln in _s_block_call) — the in-kernel LNs only normalize.
-    wqkv, bqkv = wqkv_ref[:], bqkv_ref[0]
-    wp, bp = wp_ref[:], bp_ref[0]
-    w1, b1 = w1_ref[:], b1_ref[0]
-    w2, b2 = w2_ref[:], b2_ref[0]
+    xflat = x_ref[:]
+    if use_cpe:
+        # one CPE pass over the folded flat array; per-image row masks
+        # (rid % N) stop shifts from bleeding across images
+        xflat = _cpe_flat(xflat, wcpe_ref[:], bcpe_ref[0],
+                          n // img_w, img_w)
+    xo, co = _s_body(
+        xflat, c_ref[:],
+        wqkv_ref[:], bqkv_ref[0], wp_ref[:], bp_ref[0],
+        w1_ref[:], b1_ref[0], w2_ref[:], b2_ref[0],
+        maskx_ref[:] if g > 1 else None,
+        maskc_ref[:] if g > 1 else None,
+        jrowx_ref[:] if joint_x else None,
+        jrowc_ref[:] if joint_c else None,
+        scale=scale, num_heads=num_heads, head_dim=head_dim, rows=rows,
+        n=n, m=m, g=g, joint_x=joint_x, joint_c=joint_c, dtype=dtype)
+    xo_ref[:] = xo
+    co_ref[:] = co
 
-    def branch(t, seq, mask_ref, jrow_ref, joint):
-        mask = mask_ref[:] if g > 1 else None
+
+def _s_body(xflat, cflat, wqkv, bqkv, wp, bp, w1, b1, w2, b2,
+            maskx, maskc, jrowx, jrowc, *, scale, num_heads, head_dim,
+            rows, n, m, g, joint_x, joint_c, dtype):
+    """One whole S block on VMEM-resident values (weights already
+    LN-folded). Shared by the per-block and stage-fused kernels."""
+    ew = dtype if _EW else jnp.float32
+    c_dim = xflat.shape[-1]
+
+    def branch(t, seq, mask, jrow, joint):
         a = _ln(t, None, None, ew=ew).astype(dtype)
         qkv = jax.lax.dot_general(
             a, wqkv, (((1,), (0,)), ((), ())),
@@ -433,7 +451,7 @@ def _s_block_kernel(x_ref, c_ref,
             # row-JOINT: all folded images in one call per head group (the
             # bd mask arrives pre-sized (g*rows*seq, g*d) by the caller)
             o = _attn_rows(q, k, v, scale, num_heads, head_dim, dtype,
-                           mask=mask, rowmask=jrow_ref[:])
+                           mask=mask, rowmask=jrow)
         else:
             outs = []
             for r in range(rows):
@@ -449,14 +467,8 @@ def _s_block_kernel(x_ref, c_ref,
                             dtype, ew=ew)
         return out.astype(dtype)
 
-    xflat = x_ref[:]
-    if use_cpe:
-        # one CPE pass over the folded flat array; per-image row masks
-        # (rid % N) stop shifts from bleeding across images
-        xflat = _cpe_flat(xflat, wcpe_ref[:], bcpe_ref[0],
-                          n // img_w, img_w)
-    xo_ref[:] = branch(xflat, n, maskx_ref, jrowx_ref, joint_x)
-    co_ref[:] = branch(c_ref[:], m, maskc_ref, jrowc_ref, joint_c)
+    return (branch(xflat, n, maskx, jrowx, joint_x),
+            branch(cflat, m, maskc, jrowc, joint_c))
 
 
 def _weight_specs(shapes):
@@ -1049,3 +1061,173 @@ def s_block(x, c, params, *, num_heads: int, cpe=None, img_w: int = 0
     scale = d ** -0.5
     return tuple(_s_block_call(x, c, tuple(params), scale, num_heads,
                                cpe=cpe, img_w=img_w))
+
+
+# ---------------------------------------------------------------------------
+# Stage-fused S kernel: an ENTIRE stage of S blocks in one pallas_call.
+# Grid (B-folds, n_blocks), block index fastest: per-block weights stream
+# through VMEM double-buffered (prefetch of block j+1 overlaps compute of
+# block j), while x/c live in the REVISITED output buffers across block
+# steps — activations cross HBM once per stage instead of once per block
+# (stage 3 of base re-read a 38 MB x tensor 18 times before this).
+# ---------------------------------------------------------------------------
+
+
+def _s_stage_kernel(x_ref, c_ref,
+                    wqkv_ref, bqkv_ref, wp_ref, bp_ref,
+                    w1_ref, b1_ref, w2_ref, b2_ref,
+                    wcpe_ref, bcpe_ref, maskx_ref, maskc_ref,
+                    jrowx_ref, jrowc_ref,
+                    xo_ref, co_ref, xs_ref, cs_ref, *,
+                    scale: float, num_heads: int, head_dim: int,
+                    rows: int, n: int, m: int, use_cpe: bool,
+                    img_w: int, g: int, joint_x: bool, joint_c: bool,
+                    n_blocks: int):
+    blk = pl.program_id(1)
+
+    # block 0 copies the HBM inputs into persistent VMEM scratch; the
+    # chain then lives entirely in scratch (zero HBM traffic between
+    # blocks) and only the final block's result goes to the outputs
+    @pl.when(blk == 0)
+    def _load():
+        xs_ref[:] = x_ref[:]
+        cs_ref[:] = c_ref[:]
+
+    xin = xs_ref[:]
+    if use_cpe:
+        xin = _cpe_flat(xin, wcpe_ref[0], bcpe_ref[0, 0],
+                        n // img_w, img_w)
+    xo, co = _s_body(
+        xin, cs_ref[:],
+        wqkv_ref[:], bqkv_ref[0, 0], wp_ref[:], bp_ref[0, 0],
+        w1_ref[:], b1_ref[0, 0], w2_ref[:], b2_ref[0, 0],
+        maskx_ref[:] if g > 1 else None,
+        maskc_ref[:] if g > 1 else None,
+        jrowx_ref[:] if joint_x else None,
+        jrowc_ref[:] if joint_c else None,
+        scale=scale, num_heads=num_heads, head_dim=head_dim, rows=rows,
+        n=n, m=m, g=g, joint_x=joint_x, joint_c=joint_c,
+        dtype=x_ref.dtype)
+    xs_ref[:] = xo
+    cs_ref[:] = co
+
+    @pl.when(blk == n_blocks - 1)
+    def _store():
+        xo_ref[:] = xs_ref[:]
+        co_ref[:] = cs_ref[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "num_heads", "img_w",
+                                    "use_cpe"))
+def _s_stage_call(x, c, stacked, cpe_taps, cpe_bias, scale, num_heads,
+                  img_w, use_cpe):
+    b, n, ch = x.shape
+    m = c.shape[1]
+    d = ch // num_heads
+    (wqkv, bqkv, wp, bp, w1, b1, w2, b2) = stacked
+    nb = wqkv.shape[0]
+    hidden = w1.shape[2]
+    rows = _pick_rows(b, n, ch, hidden)
+    g = _pick_group(num_heads, d)
+    dummy = jnp.zeros((8, 128), x.dtype)
+    joint_c = (_JOINT and _SHIFTLESS and rows > 1
+               and g * rows * m <= _MAX_BD_ROWS)
+    joint_x = (_JOINT and _SHIFTLESS and rows > 1 and rows * n <= 512
+               and g * rows * n <= _MAX_BD_ROWS)
+    maskx = (_bd_mask(rows * n if joint_x else n, g, d, x.dtype)
+             if g > 1 else dummy)
+    maskc = (_bd_mask(rows * m if joint_c else m, g, d, x.dtype)
+             if g > 1 else dummy)
+    jrowx = (_rowjoint_mask(rows, n, n, g, x.dtype) if joint_x else dummy)
+    jrowc = (_rowjoint_mask(rows, m, m, g, x.dtype) if joint_c else dummy)
+    if cpe_taps is None:
+        cpe_taps = jnp.zeros((nb, 9, ch), x.dtype)
+        cpe_bias = jnp.zeros((nb, ch), x.dtype)
+    # Per-block MATRICES stream as flat-2D row-stacked arrays with true
+    # (rows, cols) blocks — a 3D (1, C, 3C) block forces a per-step
+    # Mosaic relayout of every weight (measured 8x step cost). Per-block
+    # VECTORS ride as (NB, 8, dim): the (1, 8, dim) block satisfies the
+    # last-two-dims rule and indexes as ref[0, 0].
+    wqkv, wp, w1, w2 = (t.reshape(-1, t.shape[-1])
+                        for t in (wqkv, wp, w1, w2))
+    bqkv, bp, b1, b2, cpe_bias = (
+        jnp.repeat(t[:, None, :], 8, axis=1)
+        for t in (bqkv, bp, b1, b2, cpe_bias))
+    mats = [wqkv, bqkv, wp, bp, w1, b1, w2, b2, cpe_taps, cpe_bias]
+    per_block = mats
+    shared = [maskx, maskc, jrowx, jrowc]
+
+    def pb_spec(w):
+        if w.ndim == 2:  # flat-stacked matrix: rows-per-block slice
+            rows_blk = w.shape[0] // nb
+            return pl.BlockSpec((rows_blk, w.shape[1]),
+                                lambda bi, blk: (blk, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1,) + w.shape[1:],
+                            lambda bi, blk, nd=w.ndim: (blk,) + (0,) * (
+                                nd - 1),
+                            memory_space=pltpu.VMEM)
+
+    pb_specs = [pb_spec(w) for w in per_block]
+    sh_specs = [pl.BlockSpec(w.shape,
+                             lambda bi, blk, nd=w.ndim: (0,) * nd,
+                             memory_space=pltpu.VMEM) for w in shared]
+    kernel = functools.partial(_s_stage_kernel, scale=float(scale),
+                               num_heads=num_heads, head_dim=d,
+                               rows=rows, n=n, m=m,
+                               use_cpe=use_cpe, img_w=img_w or 1,
+                               g=g, joint_x=joint_x, joint_c=joint_c,
+                               n_blocks=nb)
+    x2 = x.reshape(b * n, ch)
+    c2 = c.reshape(b * m, ch)
+    x_spec = pl.BlockSpec((rows * n, ch), lambda bi, blk: (bi, 0),
+                          memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((rows * m, ch), lambda bi, blk: (bi, 0),
+                          memory_space=pltpu.VMEM)
+    xo, co = pl.pallas_call(
+        kernel,
+        grid=(b // rows, nb),
+        in_specs=[x_spec, c_spec] + pb_specs + sh_specs,
+        out_specs=[x_spec, c_spec],
+        out_shape=[jax.ShapeDtypeStruct(x2.shape, x.dtype),
+                   jax.ShapeDtypeStruct(c2.shape, c.dtype)],
+        scratch_shapes=[pltpu.VMEM((rows * n, ch), x.dtype),
+                        pltpu.VMEM((rows * m, ch), x.dtype)],
+        interpret=_INTERPRET,
+        **vmem_params(),
+    )(x2, c2, *per_block, *shared)
+    return xo.reshape(x.shape), co.reshape(c.shape)
+
+
+def s_stage(x, c, params_list, *, num_heads: int, cpes=None,
+            img_w: int = 0) -> Optional[Tuple[jax.Array, jax.Array]]:
+    """Fused S-type STAGE: params_list is one 12-tuple per block (the
+    s_block layout: ln1_s, ln1_b, Wqkv, bqkv, Wp, bp, ln2_s, ln2_b, W1,
+    b1, W2, b2); cpes one ((9,C), (C,)) pair per block or None (then
+    pass PRE-CPE x only if cpes is given). All blocks must share shapes
+    (they do within a stage). Returns None if shapes don't qualify."""
+    if not HAS_PLTPU or len(params_list) < 2:
+        return None
+    b, n, ch = x.shape
+    d = ch // num_heads
+    if n > _MAX_N_SBLOCK or ch % num_heads != 0 or c.shape[1] % 8 != 0:
+        return None
+    if cpes is not None and any(cp is None for cp in cpes):
+        return None
+    folded = []
+    for p in params_list:
+        (ln1s, ln1b, wqkv, bqkv, wp, bp, ln2s, ln2b, w1, b1, w2, b2) = p
+        wqkv_f, bqkv_f = _fold_ln(ln1s, ln1b, wqkv, bqkv)
+        w1_f, b1_f = _fold_ln(ln2s, ln2b, w1, b1)
+        folded.append((wqkv_f, bqkv_f, wp, bp, w1_f, b1_f, w2, b2))
+    stacked = tuple(jnp.stack([f[i] for f in folded])
+                    for i in range(8))
+    if cpes is not None:
+        cpe_taps = jnp.stack([cp[0] for cp in cpes]).astype(x.dtype)
+        cpe_bias = jnp.stack([cp[1] for cp in cpes]).astype(x.dtype)
+    else:
+        cpe_taps = cpe_bias = None
+    scale = d ** -0.5
+    return tuple(_s_stage_call(x, c, stacked, cpe_taps, cpe_bias, scale,
+                               num_heads, img_w, cpes is not None))

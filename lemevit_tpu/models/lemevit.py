@@ -559,6 +559,57 @@ class LeMeViT(nn.Module):
                                      bias_init=nn.initializers.zeros_init(),
                                      dtype=jnp.float32, name="head")
 
+    def _try_s_stage(self, i, x, c, train):
+        """Whole-STAGE fused S path (inference): one pallas_call runs the
+        stage's every block — per-block weights stream through VMEM
+        double-buffered while the activations stay resident across block
+        steps (x crossed HBM once per BLOCK before; stage 3 of base is 18
+        blocks re-reading a 38 MB tensor). OPT-IN via PB_S_STAGE=1:
+        measured SLOWER than the per-block chain on the current
+        toolchain (v5e: 2.9-8x per step; Mosaic appears not to overlap
+        the streamed-weight fetches across the scratch-carried chain) —
+        kept as the A/B lever for toolchain upgrades. Returns (x, c) or
+        None."""
+        import os
+        blocks = self.stages[i]
+        if (train or self.attn_type[i] != "S" or len(blocks) < 2
+                or os.environ.get("PB_S_STAGE", "0") != "1"
+                or self.is_mutable_collection("intermediates")):
+            return None
+        from lemevit_tpu.attn import pallas_block
+        try:
+            if not blocks[0]._fusable(True):
+                return None
+            b, h, w, ch = x.shape
+            dt = self.dtype
+            params_list, cpes = [], []
+            for j in range(len(blocks)):
+                v = self.variables["params"][f"stage{i}_block{j}"]
+                params_list.append(
+                    (v["norm1"]["scale"], v["norm1"]["bias"],
+                     v["attn"]["qkv"]["kernel"].astype(dt),
+                     v["attn"]["qkv"]["bias"].astype(dt),
+                     v["attn"]["proj"]["kernel"].astype(dt),
+                     v["attn"]["proj"]["bias"].astype(dt),
+                     v["norm2"]["scale"], v["norm2"]["bias"],
+                     v["mlp"]["fc1"]["kernel"].astype(dt),
+                     v["mlp"]["fc1"]["bias"].astype(dt),
+                     v["mlp"]["fc2"]["kernel"].astype(dt),
+                     v["mlp"]["fc2"]["bias"].astype(dt)))
+                cpes.append(blocks[j]._cpe_weights(v))
+            if any(cp is None for cp in cpes):
+                if not all(cp is None for cp in cpes):
+                    return None
+                cpes = None
+            out = pallas_block.s_stage(
+                x.reshape(b, h * w, ch), c, params_list,
+                num_heads=ch // self.head_dim, cpes=cpes, img_w=w)
+            if out is None:
+                return None
+            return out[0].reshape(b, h, w, ch), out[1]
+        except (KeyError, TypeError, LookupError, AttributeError):
+            return None
+
     def __call__(self, x, *, train: bool = False):
         b = x.shape[0]
         x = x.astype(self.dtype)
@@ -571,10 +622,15 @@ class LeMeViT(nn.Module):
             if ds is not None:
                 x = ds(x, train=bn_train)
             c = self.meta_token_downsample[i](c)
-            for block in self.stages[i]:
-                # no-op unless 'intermediates' is mutable (visualization)
-                self.sow("intermediates", "block_inputs", (x, c))
-                x, c = block(x, c, not train)
+            staged = self._try_s_stage(i, x, c, train)
+            if staged is not None:
+                x, c = staged
+            else:
+                for block in self.stages[i]:
+                    # no-op unless 'intermediates' is mutable
+                    # (visualization)
+                    self.sow("intermediates", "block_inputs", (x, c))
+                    x, c = block(x, c, not train)
             if self.features_only and i in self.out_indices:
                 feats.append(x)
         if self.features_only:

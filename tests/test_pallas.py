@@ -297,3 +297,47 @@ def test_fused_dca_rows_matches_composition():
                                    rtol=3e-5, atol=3e-5)
     finally:
         monkey.undo()
+
+
+def test_fused_s_stage_matches_block_chain():
+    """Stage-fused kernel (weights streamed per grid step, activations
+    revisited in VMEM) vs the same blocks applied one s_block at a time,
+    with and without per-block CPE."""
+    from lemevit_tpu.attn import pallas_block
+    monkey = pytest.MonkeyPatch()
+    monkey.setattr(pallas_block, "_INTERPRET", True)
+    try:
+        key = jax.random.PRNGKey(11)
+        ks = jax.random.split(key, 64)
+        B, n, img_w, nb = 4, 64, 8, 3
+        ki = iter(range(64))
+        r = lambda *s: jax.random.normal(ks[next(ki)], s,
+                                         jnp.float32) * 0.1
+        x = r(B, n, C)
+        c = r(B, 16, C)
+        ones = jnp.ones((C,), jnp.float32)
+        params_list = []
+        cpes = []
+        for _ in range(nb):
+            params_list.append(
+                (ones + r(C) * 0.1, r(C) * 0.1,
+                 r(C, 3 * C), r(3 * C), r(C, C), r(C),
+                 ones + r(C) * 0.1, r(C) * 0.1,
+                 r(C, 2 * C), r(2 * C), r(2 * C, C), r(C)))
+            cpes.append((r(9, C) * 0.2, r(C) * 0.2))
+        for use_cpe in (False, True):
+            cp = cpes if use_cpe else None
+            got = pallas_block.s_stage(x, c, params_list, num_heads=H,
+                                       cpes=cp, img_w=img_w)
+            assert got is not None
+            xr, cr = x, c
+            for i in range(nb):
+                xr, cr = pallas_block.s_block(
+                    xr, cr, params_list[i], num_heads=H,
+                    cpe=cpes[i] if use_cpe else None, img_w=img_w)
+            np.testing.assert_allclose(np.asarray(got[0]), np.asarray(xr),
+                                       rtol=3e-5, atol=3e-5)
+            np.testing.assert_allclose(np.asarray(got[1]), np.asarray(cr),
+                                       rtol=3e-5, atol=3e-5)
+    finally:
+        monkey.undo()
