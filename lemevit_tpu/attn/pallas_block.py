@@ -1041,6 +1041,13 @@ def c_block(x, c, params, *, num_heads: int, cpe=None, img_w: int = 0
     if cpe is not None and tile != n:
         return None
     scale = d ** -0.5
+    if (tile == n and _pick_rows_c(b, n, ch) > 1
+            and os.environ.get("PB_C_ROWS", "1") != "0"):
+        # whole-image tiles + batch-row folding: one grid step covers
+        # several images, amortizing the ~0.5us-per-op step overhead
+        # that dominates the one-image-per-step online kernel
+        return _c_rows_call(x, c, tuple(params), scale, num_heads,
+                            cpe=cpe, img_w=img_w)
     return _c_block_call(x, c, tuple(params), scale, num_heads, cpe=cpe,
                          img_w=img_w)
 
@@ -1231,3 +1238,128 @@ def s_stage(x, c, params_list, *, num_heads: int, cpes=None,
     scale = d ** -0.5
     return tuple(_s_stage_call(x, c, stacked, cpe_taps, cpe_bias, scale,
                                num_heads, img_w, cpes is not None))
+
+
+# ---------------------------------------------------------------------------
+# Rows-folded C kernel: multiple images per grid step. The online-softmax
+# tiled kernel above processes ONE image per step — at stage-0 scale that
+# is 256 grid steps whose per-step overhead dominates (the whole block is
+# ~10x off roofline). When the image fits one tile anyway (the common
+# case under the raised VMEM limit), fold r images per step like the S
+# kernel does and skip the online carry entirely.
+# ---------------------------------------------------------------------------
+
+
+def _pick_rows_c(b: int, n: int, ch: int) -> int:
+    """Batch rows per grid step for the folded C kernel (lane-padded)."""
+    per_row = 2 * (2 * n * -(-ch // 128) * 128            # x double-buffered
+                   + n * -(-2 * ch // 128) * 128          # kv transient
+                   + n * -(-ch // 128) * 128)             # xa / f32 peak
+    budget = int(os.environ.get("PB_C_VMEM_MB", "9")) * 1024 * 1024
+    for r in (16, 8, 4, 2):
+        if b % r == 0 and (r * n) % 8 == 0 and per_row * r < budget:
+            return r
+    return 1
+
+
+def _c_rows_kernel(x_ref, c_ref,
+                   wq_ref, bq_ref, wkv_ref, bkv_ref,
+                   wp_ref, bp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   wcpe_ref, bcpe_ref, maskc_ref,
+                   co_ref, *,
+                   scale: float, num_heads: int, head_dim: int,
+                   rows: int, n: int, m: int, use_cpe: bool,
+                   img_w: int, g: int):
+    dtype = x_ref.dtype
+    ew = dtype if _EW else jnp.float32
+    c_dim = x_ref.shape[-1]
+    xflat = x_ref[:]
+    if use_cpe:
+        xflat = _cpe_flat(xflat, wcpe_ref[:], bcpe_ref[0],
+                          n // img_w, img_w)
+    xa = _ln(xflat, None, None, ew=ew).astype(dtype)
+    kv = jax.lax.dot_general(xa, wkv_ref[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    kv = (kv + bkv_ref[0].astype(jnp.float32)).astype(dtype)
+    ca = _ln(c_ref[:], None, None, ew=ew).astype(dtype)
+    q = jax.lax.dot_general(ca, wq_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    q = (q + bq_ref[0].astype(jnp.float32)).astype(dtype)
+    o = _attn_dir_inf(q, kv[:, :c_dim], kv[:, c_dim:], rows, m, n,
+                      scale, num_heads, head_dim, g,
+                      maskc_ref[:] if g > 1 else None, dtype)
+    o = jax.lax.dot_general(o, wp_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    c1 = c_ref[:].astype(jnp.float32) + o + bp_ref[0].astype(jnp.float32)
+    co_ref[:] = _mlp_residual(c1, w1_ref[:], b1_ref[0], w2_ref[:],
+                              b2_ref[0], None, None, dtype,
+                              ew=ew).astype(dtype)
+
+
+def _attn_dir_inf(q, k, v, rows, sq, sk, scale, num_heads, head_dim, g,
+                  mask, dtype):
+    """Per-(row, head-group) attention on folded images (thin query)."""
+    outs = []
+    for r in range(rows):
+        qs = slice(r * sq, (r + 1) * sq)
+        ks = slice(r * sk, (r + 1) * sk)
+        row_outs = []
+        for h0 in range(0, num_heads, g):
+            gs = slice(h0 * head_dim, (h0 + g) * head_dim)
+            row_outs.append(_attn_rows(q[qs, gs], k[ks, gs], v[ks, gs],
+                                       scale, g, head_dim, dtype,
+                                       mask=mask))
+        outs.append(jnp.concatenate(row_outs, axis=1)
+                    if len(row_outs) > 1 else row_outs[0])
+    return (jnp.concatenate(outs, axis=0) if rows > 1
+            else outs[0]).astype(dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "num_heads", "img_w"))
+def _c_rows_call(x, c, params, scale, num_heads, cpe=None, img_w=0):
+    b, n, ch = x.shape
+    m = c.shape[1]
+    d = ch // num_heads
+    rows = _pick_rows_c(b, n, ch)
+    row = lambda t: t.reshape(1, -1)
+    (ln1s, ln1b, wq, bq, wkv, bkv, wp, bp, ln2s, ln2b,
+     w1, b1, w2, b2) = params
+    if cpe is None:
+        wcpe = jnp.zeros((9, ch), x.dtype)
+        bcpe = jnp.zeros((1, ch), x.dtype)
+    else:
+        wcpe, bcpe = cpe[0], row(cpe[1])
+    g = _pick_group(num_heads, d)
+    if g * n > _MAX_BD_ROWS:  # thin-query bd expansion is key-side
+        g = 1
+    maskc = (_bd_mask(n, g, d, x.dtype) if g > 1
+             else jnp.zeros((8, 128), x.dtype))
+    wq_f, bq_f = _fold_ln(ln1s, ln1b, wq, bq)
+    wkv_f, bkv_f = _fold_ln(ln1s, ln1b, wkv, bkv)
+    w1_f, b1_f = _fold_ln(ln2s, ln2b, w1, b1)
+    weights = [wq_f, row(bq_f), wkv_f, row(bkv_f),
+               wp, row(bp), w1_f, row(b1_f), w2, row(b2),
+               wcpe, bcpe, maskc]
+    kernel = functools.partial(_c_rows_kernel, scale=float(scale),
+                               num_heads=num_heads, head_dim=d,
+                               rows=rows, n=n, m=m,
+                               use_cpe=cpe is not None,
+                               img_w=img_w or 1, g=g)
+    x2 = x.reshape(b * n, ch)
+    c2 = c.reshape(b * m, ch)
+    x_spec = pl.BlockSpec((rows * n, ch), lambda bi: (bi, 0),
+                          memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((rows * m, ch), lambda bi: (bi, 0),
+                          memory_space=pltpu.VMEM)
+    w_specs = _weight_specs([w.shape for w in weights])
+    co = pl.pallas_call(
+        kernel,
+        grid=(b // rows,),
+        in_specs=[x_spec, c_spec] + w_specs,
+        out_specs=[c_spec],
+        out_shape=[jax.ShapeDtypeStruct(c2.shape, c.dtype)],
+        interpret=_INTERPRET,
+        **vmem_params(),
+    )(x2, c2, *weights)[0]
+    return co.reshape(c.shape)

@@ -341,3 +341,35 @@ def test_fused_s_stage_matches_block_chain():
                                        rtol=3e-5, atol=3e-5)
     finally:
         monkey.undo()
+
+
+def test_c_rows_matches_online_tiled():
+    """Rows-folded C kernel (several images per grid step) vs the online
+    tiled one-image-per-step kernel."""
+    import os
+
+    from lemevit_tpu.attn import pallas_block
+    monkey = pytest.MonkeyPatch()
+    monkey.setattr(pallas_block, "_INTERPRET", True)
+    try:
+        key = jax.random.PRNGKey(13)
+        ks = jax.random.split(key, 16)
+        r = lambda i, *s: jax.random.normal(ks[i], s, jnp.float32) * 0.1
+        B, n, img_w = 4, 64, 8
+        x = r(0, B, n, C)
+        c = r(1, B, 16, C)
+        ones = jnp.ones((C,), jnp.float32)
+        params = (ones, r(2, C) * 0.1, r(3, C, C), r(4, C),
+                  r(5, C, 2 * C), r(6, 2 * C), r(7, C, C), r(8, C),
+                  ones, r(9, C) * 0.1,
+                  r(10, C, 2 * C), r(11, 2 * C), r(12, 2 * C, C), r(13, C))
+        cpe = (r(14, 9, C) * 0.2, r(15, C) * 0.2)
+        rows = pallas_block.c_block(x, c, params, num_heads=H, cpe=cpe,
+                                    img_w=img_w)
+        monkey.setenv("PB_C_ROWS", "0")
+        tiled = pallas_block.c_block(x, c, params, num_heads=H, cpe=cpe,
+                                     img_w=img_w)
+        np.testing.assert_allclose(np.asarray(rows), np.asarray(tiled),
+                                   rtol=3e-5, atol=3e-5)
+    finally:
+        monkey.undo()
