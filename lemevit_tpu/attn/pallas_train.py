@@ -27,15 +27,18 @@ gap the TPU way:
        liveness trim plus the output-set cuts below is what fits
        base-stage3 (C=384, N=196) under the 16 MB scoped-VMEM limit
        (the round-2 shape that compile-crashed at 17.16 MB).
-  Weight grads are NOT accumulated in VMEM (fp32 accumulators next to
-  the recompute transients blow the budget); the kernels dump the small
-  (activation, grad) pairs — dqkv, o_att, m, dz — and XLA contracts
-  them outside (einsum, fp32 accumulation). Three former dumps are
-  rebuilt in XLA instead of buffered: do (= droppath-scale * dt1,
-  elementwise), the hidden-width (gelu output, d-hidden) pair
-  (recomputed from m and dz), and the CPE-transposed data grad (the
-  kernel emits the PRE-transpose grad; the flipped-tap window product
-  is one fused XLA pass).
+  Weight grads accumulate IN-KERNEL into fp32 resident output blocks
+  (constant index map, zero-init at grid step 0): the round-2 design
+  dumped the (activation, grad) pairs — dqkv, o_att, m, dz — to HBM
+  and contracted them in XLA, and that weight-grad pass measured 55%
+  of the stage-1 block backward (13.7 of 24.9 ms: the XLA pass
+  materializes (T, hidden) intermediates at multi-GB scale). Now the
+  wide streams (dqkv, o_att, dkv) live only in VMEM scratch; the per
+  -tile fp32 accumulator blocks cost ~2-7 MB and replace GBs of HBM
+  round trips. Bias grads whose operand is XLA-visible stay outside:
+  dbp = colsum(droppath-scale * dt1) and db2 = colsum(dz). The data
+  grad is still emitted PRE-CPE-transpose (the flipped-tap window
+  product is one fused XLA pass).
 
 Backward row folds are picked by explicit byte models
 (_pick_rows_bwd_mlp / _pick_rows_bwd_attn) that return 0 — XLA
@@ -280,12 +283,13 @@ def _pick_bt_mlp(total_rows, ch, hidden):
     budget = _bwd_budget()
     cp, hp = _lanes(ch), _lanes(hidden)
     w = 2 * (2 * ch * hidden)  # w1 + w2, bf16
+    acc = 4 * (ch * hp + 8 * hp + hidden * cp)  # resident fp32 dW blocks
     for bt in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
         if total_rows % bt:
             continue
-        io = 2 * 2 * 5 * bt * cp        # t1, dout, dzv in; dt1, m out
-        trans = bt * (14 * hp + 16 * cp)
-        if w + io + trans <= budget:
+        io = 2 * 2 * 4 * bt * cp        # t1, dout, dzv in; dt1 out
+        trans = bt * (16 * hp + 16 * cp)  # + gg bf16 vs the old model
+        if w + acc + io + trans <= budget:
             return bt
     return 0
 
@@ -320,16 +324,21 @@ def _pick_rows_bwd_attn(b, n, ch, m, num_heads, dca=False):
         scores = 12 * (n * _lanes(gx * m) + m * _lanes(gc * n))
         # block-diagonal k/v expansions: bf16 fwd + fp32 grads ~ 12 B/elem
         bdexp = 12 * (gx * m * _lanes(gx * d) + gc * n * _lanes(gc * d))
+        # resident fp32 weight-grad blocks: 2x (dWqkv + dbqkv) + 2x dWp
+        acc = 4 * (2 * (ch * cp3 + 8 * cp3) + 2 * ch * cp)
     else:
         w = 2 * (3 * ch * ch + ch * ch)
         masks = 2 * (g * n + g * m) * _lanes(g * d)
         scores = 12 * (n * _lanes(g * n) + m * _lanes(g * m))
         bdexp = 12 * (g * n + g * m) * _lanes(g * d)
+        acc = 4 * (ch * cp3 + 8 * cp3 + ch * cp)
     for r in _aligned_folds(b, n, m):
         t = r * (n + m)
-        io = 2 * 2 * t * (4 * cp + cp3)   # x,dt1,dtgrad,oatt + dqkv
+        io = 2 * 2 * t * 3 * cp           # x, dt1 in; dtgrad out
+        scratch = 2 * t * (cp3 + cp)      # dqkv + oatt, single-buffered
         trans = t * 22 * cp
-        if w + masks + scores + bdexp + io + trans <= budget:
+        if (w + masks + scores + bdexp + acc + io + scratch
+                + trans <= budget):
             return r
     return 0
 
@@ -470,12 +479,19 @@ def _dca_train_fwd_kernel(x_ref, c_ref, dp_ref,
 # ---------------------------------------------------------------------------
 
 def _mlp_bwd_kernel(t1_ref, dout_ref, dzv_ref, w1_ref, b1_ref, w2_ref,
-                    dt1_ref, m_ref):
+                    dt1_ref, dw1_ref, db1_ref, dw2_ref, *,
+                    grid_steps):
     """Flat-token MLP backward tile: t1 + upstream grads -> dt1,
     recomputing LN/fc1/GELU in VMEM (one HBM pass over the (T, hidden)
     intermediates instead of XLA's materialized round trips). dzv (the
-    droppath-scaled upstream grad) arrives precomputed from XLA — it is
-    elementwise and doubles as the dW2 einsum operand there."""
+    droppath-scaled upstream grad) arrives precomputed from XLA. dW1,
+    db1 and dW2 accumulate IN-KERNEL into fp32 resident output blocks
+    (constant index map, init at grid step 0) — the previous design
+    dumped the normed input and re-derived the (T, hidden) gelu/d-hidden
+    pair in XLA, which materialized multi-GB intermediates at stage-1
+    scale and made the XLA weight-grad pass 55% of the block backward.
+    db2 = colsum(dzv) stays in XLA (dzv is an XLA-visible array)."""
+    del grid_steps
     dtype = t1_ref.dtype
     fast = dtype == jnp.bfloat16
     t1 = t1_ref[:]
@@ -484,46 +500,81 @@ def _mlp_bwd_kernel(t1_ref, dout_ref, dzv_ref, w1_ref, b1_ref, w2_ref,
     y = jax.lax.dot_general(mm, w1_ref[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     y = y + b1_ref[0].astype(jnp.float32)
-    dgg = jax.lax.dot_general(dzv_ref[:], w2_ref[:],
+    dz = dzv_ref[:]
+    dgg = jax.lax.dot_general(dz, w2_ref[:],
                               (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     dy = (dgg * _gelu_grad(y, fast)).astype(dtype)
     dmm = jax.lax.dot_general(dy, w1_ref[:], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     dt1_ref[:] = (dout + _ln_bwd(dmm, t1)).astype(dtype)
-    m_ref[:] = mm
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+
+    gg = _gelu(y, fast=fast).astype(dtype)
+    dw1_ref[...] += jax.lax.dot_general(
+        mm, dy, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1_ref[0:1, :] += jnp.sum(dy.astype(jnp.float32), axis=0,
+                               keepdims=True)
+    dw2_ref[...] += jax.lax.dot_general(
+        gg, dz, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 @jax.jit
 def _mlp_bwd_call(t1x, t1c, dxo, dco, dparr, w1, b1, w2):
-    """Returns (dt1x, dt1c, mx, dzx, mc, dzc) — the dz streams are built
-    here in XLA (per-image droppath scale * upstream grad, fused) and fed
-    to the kernel AND to the dW2 einsum downstream."""
+    """Returns (dt1x, dt1c, dw1, db1, dw2, db2): the data grads plus the
+    FULL MLP weight grads (fp32), accumulated in-kernel across both
+    token streams. The dz streams are built here in XLA (per-image
+    droppath scale * upstream grad, fused); db2 = their colsum."""
     bn, ch = t1x.shape
     bm = t1c.shape[0]
     b_imgs = dparr.shape[1]
     hidden = w1.shape[1]
     weights = [w1, _row(b1), w2]
-    outs = []
+    f32 = jnp.float32
+    dt1s, dws, db2 = [], [], jnp.zeros((ch,), f32)
+    acc_specs = [
+        pl.BlockSpec((ch, hidden), lambda bi: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, hidden), lambda bi: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hidden, ch), lambda bi: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    acc_shapes = [jax.ShapeDtypeStruct((ch, hidden), f32),
+                  jax.ShapeDtypeStruct((8, hidden), f32),
+                  jax.ShapeDtypeStruct((hidden, ch), f32)]
     for t1, dout, idx in ((t1x, dxo, 1), (t1c, dco, 3)):
         total = t1.shape[0]
         dzv = _xla_do(dout, dparr[idx], total // b_imgs, t1.dtype)
+        db2 = db2 + jnp.sum(dzv.astype(f32), axis=0)
         bt = _pick_bt_mlp(total, ch, hidden)
         spec = pl.BlockSpec((bt, ch), lambda bi: (bi, 0),
                             memory_space=pltpu.VMEM)
         sd = jax.ShapeDtypeStruct((total, ch), t1.dtype)
-        dt1, mm = pl.pallas_call(
-            _mlp_bwd_kernel,
+        kernel = functools.partial(_mlp_bwd_kernel,
+                                   grid_steps=total // bt)
+        dt1, dw1, db1, dw2 = pl.pallas_call(
+            kernel,
             grid=(total // bt,),
             in_specs=[spec, spec, spec] + _wspec([w.shape for w in weights]),
-            out_specs=[spec, spec],
-            out_shape=[sd, sd],
+            out_specs=[spec] + acc_specs,
+            out_shape=[sd] + acc_shapes,
             interpret=_pb._INTERPRET,
             **_compiler_params(),
         )(t1, dout, dzv, *weights)
-        outs += [dt1, mm, dzv]
-    (dt1x, mx, dzx, dt1c, mc, dzc) = outs
-    return dt1x, dt1c, mx, dzx, mc, dzc
+        dt1s.append(dt1)
+        dws.append((dw1, db1[0], dw2))
+    dw1 = dws[0][0] + dws[1][0]
+    db1 = dws[0][1] + dws[1][1]
+    dw2 = dws[0][2] + dws[1][2]
+    return dt1s[0], dt1s[1], dw1, db1, dw2, db2
 
 
 # ---------------------------------------------------------------------------
@@ -562,6 +613,7 @@ def _s_attn_bwd_kernel(x_ref, c_ref, dp_ref,
                        maskx_ref, maskc_ref,
                        dt1x_ref, dt1c_ref,
                        dx_ref, dc_ref,
+                       dwqkv_ref, dbqkv_ref, dwp_ref,
                        dqkvx_ref, oattx_ref,
                        dqkvc_ref, oattc_ref, *,
                        scale, num_heads, head_dim, rows, n, m,
@@ -569,10 +621,17 @@ def _s_attn_bwd_kernel(x_ref, c_ref, dp_ref,
     """Lean S-block attention backward. Outputs: dx/dc are the data
     grads PRE-CPE-transpose (the caller applies the flipped-tap window
     product in XLA — one fused elementwise pass — so this kernel carries
-    one less (N, C) output stream); dqkv/oatt feed the XLA weight-grad
-    einsums. do (= droppath-scale * dt1) is NOT dumped either: the
-    caller rebuilds it from dt1 in XLA for free."""
+    one less (N, C) output stream); dWqkv/dbqkv/dWp accumulate IN-KERNEL
+    into fp32 resident blocks (the dqkv/oatt streams live only in VMEM
+    scratch now — no HBM dumps, no XLA einsum pass). dbp stays in XLA:
+    do derives from dt1, which the caller already holds."""
     dtype = x_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+        dwp_ref[...] = jnp.zeros_like(dwp_ref)
 
     def branch(t, seq, mask_ref, s1, dt1_ref, dqkv_ref, oatt_ref):
         mask = mask_ref[:] if g > 1 else None
@@ -591,10 +650,16 @@ def _s_attn_bwd_kernel(x_ref, c_ref, dp_ref,
         _attn_dir_bwd_dump(doatt, q, k, v, rows, seq, seq, scale,
                            num_heads, head_dim, g, mask, dtype,
                            dqkv_ref, dqkv_ref, oatt_ref)
-        # `a` is NOT dumped: the dWqkv einsum recomputes norm(cpe(x)) in
-        # XLA (2 cheap fused passes). dqkv is read back from the output
-        # ref (bf16 — same precision as the dumped stream).
-        da = jax.lax.dot_general(dqkv_ref[:], wqkv_ref[:],
+        dqkv = dqkv_ref[:]
+        dwqkv_ref[...] += jax.lax.dot_general(
+            a, dqkv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbqkv_ref[0:1, :] += jnp.sum(dqkv.astype(jnp.float32), axis=0,
+                                     keepdims=True)
+        dwp_ref[...] += jax.lax.dot_general(
+            oatt_ref[:], do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        da = jax.lax.dot_general(dqkv, wqkv_ref[:],
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         return dt1 + _ln_bwd(da, t)
@@ -618,6 +683,8 @@ def _dca_attn_bwd_kernel(x_ref, c_ref, dp_ref,
                          maskx_ref, maskc_ref,
                          dt1x_ref, dt1c_ref,
                          dx_ref, dc_ref,
+                         dwqkv1_ref, dbqkv1_ref, dwqkv2_ref, dbqkv2_ref,
+                         dwpx_ref, dwpc_ref,
                          dqkv1_ref, oattx_ref,
                          dqkv2_ref, oattc_ref, *,
                          scale_x, scale_c, num_heads, head_dim, rows,
@@ -625,8 +692,19 @@ def _dca_attn_bwd_kernel(x_ref, c_ref, dp_ref,
     """Lean DCA backward (see _s_attn_bwd_kernel): dx is the data grad
     PRE-CPE-transpose; do/dqkv-concat/oatt temporaries eliminated via
     direct slice writes. dq1 lands in dqkv1's q third while dk2/dv2 land
-    in dqkv2's k/v thirds (cross-stream keys), and vice versa."""
+    in dqkv2's k/v thirds (cross-stream keys), and vice versa. All
+    projection weight grads accumulate IN-KERNEL (fp32 resident blocks);
+    dqkv/oatt live in VMEM scratch only — no HBM dumps."""
     dtype = x_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwqkv1_ref[...] = jnp.zeros_like(dwqkv1_ref)
+        dbqkv1_ref[...] = jnp.zeros_like(dbqkv1_ref)
+        dwqkv2_ref[...] = jnp.zeros_like(dwqkv2_ref)
+        dbqkv2_ref[...] = jnp.zeros_like(dbqkv2_ref)
+        dwpx_ref[...] = jnp.zeros_like(dwpx_ref)
+        dwpc_ref[...] = jnp.zeros_like(dwpc_ref)
     c_dim = x_ref.shape[-1]
     maskx = maskx_ref[:] if gx > 1 else None
     maskc = maskc_ref[:] if gc > 1 else None
@@ -661,12 +739,27 @@ def _dca_attn_bwd_kernel(x_ref, c_ref, dp_ref,
     _attn_dir_bwd_dump(doattc, q2, k1, v1, rows, m, n, scale_c,
                        num_heads, head_dim, gc, maskc, dtype,
                        dqkv2_ref, dqkv1_ref, oattc_ref)
-    # `xa`/`ca` are NOT dumped (recomputed in XLA for the dWqkv einsums);
-    # dqkv read back from the output refs in bf16 for the LN chain
-    da_x = jax.lax.dot_general(dqkv1_ref[:], wqkv1_ref[:],
+    f32 = jnp.float32
+    dqkv1 = dqkv1_ref[:]
+    dqkv2 = dqkv2_ref[:]
+    dwqkv1_ref[...] += jax.lax.dot_general(
+        xa, dqkv1, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    dbqkv1_ref[0:1, :] += jnp.sum(dqkv1.astype(f32), axis=0,
+                                  keepdims=True)
+    dwqkv2_ref[...] += jax.lax.dot_general(
+        ca, dqkv2, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    dbqkv2_ref[0:1, :] += jnp.sum(dqkv2.astype(f32), axis=0,
+                                  keepdims=True)
+    dwpx_ref[...] += jax.lax.dot_general(
+        oattx_ref[:], dox, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    dwpc_ref[...] += jax.lax.dot_general(
+        oattc_ref[:], doc, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    da_x = jax.lax.dot_general(dqkv1, wqkv1_ref[:],
                                (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
-    da_c = jax.lax.dot_general(dqkv2_ref[:], wqkv2_ref[:],
+    da_c = jax.lax.dot_general(dqkv2, wqkv2_ref[:],
                                (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     dx_ref[:] = (dt1x + _ln_bwd(da_x, xflat)).astype(dtype)
@@ -691,34 +784,6 @@ def _cpe_arrays(cpe, ch, dtype):
     if cpe is not None:
         return cpe[0], _row(cpe[1])
     return jnp.zeros((9, ch), dtype), jnp.zeros((1, ch), dtype)
-
-
-def _weight_grads_common(x_dtype, w1, b1, w2, mx, dzx, mc, dzc):
-    """dW1/db1/dW2/db2 from the dumped (m, dz) pairs; the hidden-width
-    (gelu out, d-hidden) pair is recomputed here in XLA."""
-    f32 = jnp.float32
-    fast = x_dtype == jnp.bfloat16
-    ein = lambda a_, b_: jax.lax.dot_general(
-        a_, b_, (((0,), (0,)), ((), ())), preferred_element_type=f32)
-    colsum = lambda t: jnp.sum(t.astype(f32), axis=0)
-
-    def pair(mm, dz):
-        y = jax.lax.dot_general(mm, w1, (((1,), (0,)), ((), ())),
-                                preferred_element_type=f32) \
-            + b1.astype(f32)
-        gg = _gelu(y, fast=fast).astype(x_dtype)
-        dgg = jax.lax.dot_general(dz, w2, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=f32)
-        dy = (dgg * _gelu_grad(y, fast)).astype(x_dtype)
-        return gg, dy
-
-    gx, dyx = pair(mx, dzx)
-    gc, dyc = pair(mc, dzc)
-    dw1 = ein(mx, dyx) + ein(mc, dyc)
-    db1 = colsum(dyx) + colsum(dyc)
-    dw2 = ein(gx, dzx) + ein(gc, dzc)
-    db2 = colsum(dzx) + colsum(dzc)
-    return dw1, db1, dw2, db2, ein, colsum
 
 
 def _xla_cpe(x, cpe, b, n, ch, img_w):
@@ -851,11 +916,12 @@ def _s_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco, scale,
     dxo2 = dxo.reshape(b * n, ch)
     dco2 = dco.reshape(b * m, ch)
 
-    # B1: MLP backward (shared kernel)
-    dt1x, dt1c, mx, dzx, mc, dzc = _mlp_bwd_call(
+    # B1: MLP backward (shared kernel, in-kernel weight grads)
+    dt1x, dt1c, dw1, db1, dw2, db2 = _mlp_bwd_call(
         t1x, t1c, dxo2, dco2, dparr, w1, b1, w2)
 
-    # B2: attention backward
+    # B2: attention backward (in-kernel dWqkv/dbqkv/dWp accumulation;
+    # dqkv/oatt streams live in VMEM scratch only)
     weights = [wqkv, _row(bqkv), wp, wcpe, bcpe, maskx, maskc]
     kernel = functools.partial(
         _s_attn_bwd_kernel, scale=float(scale), num_heads=num_heads,
@@ -865,39 +931,40 @@ def _s_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco, scale,
     c2 = c.reshape(b * m, ch)
     x_spec, c_spec, dp_spec, w_specs = _fwd_specs(b, n, m, ch, rows,
                                                   weights)
-    x3_spec = pl.BlockSpec((rows * n, 3 * ch), lambda bi: (bi, 0),
-                           memory_space=pltpu.VMEM)
-    c3_spec = pl.BlockSpec((rows * m, 3 * ch), lambda bi: (bi, 0),
-                           memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    acc_specs = [
+        pl.BlockSpec((ch, 3 * ch), lambda bi: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, 3 * ch), lambda bi: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ch, ch), lambda bi: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    acc_shapes = [jax.ShapeDtypeStruct((ch, 3 * ch), f32),
+                  jax.ShapeDtypeStruct((8, 3 * ch), f32),
+                  jax.ShapeDtypeStruct((ch, ch), f32)]
     sd = lambda r_, c_: jax.ShapeDtypeStruct((r_, c_), x.dtype)
     outs = pl.pallas_call(
         kernel,
         grid=(b // rows,),
         in_specs=[x_spec, c_spec, dp_spec] + w_specs + [x_spec, c_spec],
-        out_specs=[x_spec, c_spec,
-                   x3_spec, x_spec,
-                   c3_spec, c_spec],
-        out_shape=[sd(b * n, ch), sd(b * m, ch),
-                   sd(b * n, 3 * ch), sd(b * n, ch),
-                   sd(b * m, 3 * ch), sd(b * m, ch)],
+        out_specs=[x_spec, c_spec] + acc_specs,
+        out_shape=[sd(b * n, ch), sd(b * m, ch)] + acc_shapes,
+        scratch_shapes=[pltpu.VMEM((rows * n, 3 * ch), x.dtype),
+                        pltpu.VMEM((rows * n, ch), x.dtype),
+                        pltpu.VMEM((rows * m, 3 * ch), x.dtype),
+                        pltpu.VMEM((rows * m, ch), x.dtype)],
         interpret=_pb._INTERPRET,
         **_compiler_params(),
     )(x2, c2, dparr, *weights, dt1x, dt1c)
-    (dtu, dc2, dqkvx, oattx, dqkvc, oattc) = outs
+    (dtu, dc2, dwqkv, dbqkv, dwp) = outs
+    dbqkv = dbqkv[0]
 
-    dw1, db1, dw2, db2, ein, colsum = _weight_grads_common(
-        x.dtype, w1, b1, w2, mx, dzx, mc, dzc)
-    # do (= droppath-scale * dt1) rebuilt here — XLA fuses the per-image
-    # scaling into the einsum operand reads
-    dox = _xla_do(dt1x, dparr[0], n, x.dtype)
-    doc = _xla_do(dt1c, dparr[2], m, x.dtype)
-    ax = _xla_norm(_xla_cpe(x, cpe if use_cpe else None, b, n, ch,
-                            img_w), x.dtype).reshape(b * n, ch)
-    ac = _xla_norm(c, x.dtype).reshape(b * m, ch)
-    dwqkv = ein(ax, dqkvx) + ein(ac, dqkvc)
-    dbqkv = colsum(dqkvx) + colsum(dqkvc)
-    dwp = ein(oattx, dox) + ein(oattc, doc)
-    dbp = colsum(dox) + colsum(doc)
+    colsum = lambda t: jnp.sum(t.astype(f32), axis=0)
+    # dbp (= colsum of droppath-scale * dt1) stays in XLA — one fused
+    # elementwise+reduce pass over streams the caller already holds
+    dbp = (colsum(_xla_do(dt1x, dparr[0], n, x.dtype))
+           + colsum(_xla_do(dt1c, dparr[2], m, x.dtype)))
     dparams = (dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
                dwp.astype(wp.dtype), dbp.astype(bp.dtype),
                dw1.astype(w1.dtype), db1.astype(b1.dtype),
@@ -1038,7 +1105,7 @@ def _dca_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco,
     dxo2 = dxo.reshape(b * n, ch)
     dco2 = dco.reshape(b * m, ch)
 
-    dt1x, dt1c, mx, dzx, mc, dzc = _mlp_bwd_call(
+    dt1x, dt1c, dw1, db1, dw2, db2 = _mlp_bwd_call(
         t1x, t1c, dxo2, dco2, dparr, w1, b1, w2)
 
     weights = [wqkv1, _row(bqkv1), wqkv2, _row(bqkv2), wpx, wpc,
@@ -1052,41 +1119,43 @@ def _dca_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco,
     c2 = c.reshape(b * m, ch)
     x_spec, c_spec, dp_spec, w_specs = _fwd_specs(b, n, m, ch, rows,
                                                   weights)
-    x3_spec = pl.BlockSpec((rows * n, 3 * ch), lambda bi: (bi, 0),
-                           memory_space=pltpu.VMEM)
-    c3_spec = pl.BlockSpec((rows * m, 3 * ch), lambda bi: (bi, 0),
-                           memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    acc_spec = lambda r_, c_: pl.BlockSpec(
+        (r_, c_), lambda bi: (0, 0), memory_space=pltpu.VMEM)
+    acc_specs = [acc_spec(ch, 3 * ch), acc_spec(8, 3 * ch),
+                 acc_spec(ch, 3 * ch), acc_spec(8, 3 * ch),
+                 acc_spec(ch, ch), acc_spec(ch, ch)]
+    fsd = lambda r_, c_: jax.ShapeDtypeStruct((r_, c_), f32)
+    acc_shapes = [fsd(ch, 3 * ch), fsd(8, 3 * ch),
+                  fsd(ch, 3 * ch), fsd(8, 3 * ch),
+                  fsd(ch, ch), fsd(ch, ch)]
     sd = lambda r_, c_: jax.ShapeDtypeStruct((r_, c_), x.dtype)
     outs = pl.pallas_call(
         kernel,
         grid=(b // rows,),
         in_specs=[x_spec, c_spec, dp_spec] + w_specs + [x_spec, c_spec],
-        out_specs=[x_spec, c_spec,
-                   x3_spec, x_spec,
-                   c3_spec, c_spec],
-        out_shape=[sd(b * n, ch), sd(b * m, ch),
-                   sd(b * n, 3 * ch), sd(b * n, ch),
-                   sd(b * m, 3 * ch), sd(b * m, ch)],
+        out_specs=[x_spec, c_spec] + acc_specs,
+        out_shape=[sd(b * n, ch), sd(b * m, ch)] + acc_shapes,
+        scratch_shapes=[pltpu.VMEM((rows * n, 3 * ch), x.dtype),
+                        pltpu.VMEM((rows * n, ch), x.dtype),
+                        pltpu.VMEM((rows * m, 3 * ch), x.dtype),
+                        pltpu.VMEM((rows * m, ch), x.dtype)],
         interpret=_pb._INTERPRET,
         **_compiler_params(),
     )(x2, c2, dparr, *weights, dt1x, dt1c)
-    (dtu, dc2, dqkv1, oattx, dqkv2, oattc) = outs
+    (dtu, dc2, dwqkv1, dbqkv1, dwqkv2, dbqkv2, dwpx, dwpc) = outs
 
-    dw1, db1, dw2, db2, ein, colsum = _weight_grads_common(
-        x.dtype, w1, b1, w2, mx, dzx, mc, dzc)
-    dox = _xla_do(dt1x, dparr[0], n, x.dtype)
-    doc = _xla_do(dt1c, dparr[2], m, x.dtype)
-    ax = _xla_norm(_xla_cpe(x, cpe if use_cpe else None, b, n, ch,
-                            img_w), x.dtype).reshape(b * n, ch)
-    ac = _xla_norm(c, x.dtype).reshape(b * m, ch)
-    dparams = (ein(ax, dqkv1).astype(wqkv1.dtype),
-               colsum(dqkv1).astype(bqkv1.dtype),
-               ein(ac, dqkv2).astype(wqkv2.dtype),
-               colsum(dqkv2).astype(bqkv2.dtype),
-               ein(oattx, dox).astype(wpx.dtype),
-               colsum(dox).astype(bpx.dtype),
-               ein(oattc, doc).astype(wpc.dtype),
-               colsum(doc).astype(bpc.dtype),
+    colsum = lambda t: jnp.sum(t.astype(f32), axis=0)
+    dbpx = colsum(_xla_do(dt1x, dparr[0], n, x.dtype))
+    dbpc = colsum(_xla_do(dt1c, dparr[2], m, x.dtype))
+    dparams = (dwqkv1.astype(wqkv1.dtype),
+               dbqkv1[0].astype(bqkv1.dtype),
+               dwqkv2.astype(wqkv2.dtype),
+               dbqkv2[0].astype(bqkv2.dtype),
+               dwpx.astype(wpx.dtype),
+               dbpx.astype(bpx.dtype),
+               dwpc.astype(wpc.dtype),
+               dbpc.astype(bpc.dtype),
                dw1.astype(w1.dtype), db1.astype(b1.dtype),
                dw2.astype(w2.dtype), db2.astype(b2.dtype))
     dx2 = _xla_cpe_t(dtu, cpe, b, n, ch, img_w) if use_cpe else dtu
@@ -1187,13 +1256,15 @@ def _pick_rows_c_bwd(b, n, ch, m, num_heads):
     cp, cp2 = _lanes(ch), _lanes(2 * ch)
     g = _c_group(num_heads, ch // num_heads, n)
     w = 2 * (ch * ch + 2 * ch * ch + ch * ch)     # wq + wkv + wp
+    acc = 4 * (ch * cp2 + 8 * cp2)                # resident fp32 dWkv
     for r in _aligned_folds(b, n, m):
-        io = 2 * 2 * (r * n * (cp + cp + cp2)     # x in, dxt out, dkv out
+        io = 2 * 2 * (r * n * (cp + cp)           # x in, dxt out
                       + r * m * 4 * cp)           # c, dt1c, dc, dq, oatt
+        scratch = 2 * r * n * cp2                 # dkv, single-buffered
         kv = 2 * r * n * cp2                      # kv recompute (bf16)
         f32 = 4 * r * n * (cp2 + cp)              # dxa + ln-bwd peak
         scores = 12 * r * m * _lanes(g * n)       # p/dp fp32, thin query
-        if w + io + kv + f32 + scores <= budget:
+        if w + acc + io + scratch + kv + f32 + scores <= budget:
             return r
     return 0
 
@@ -1236,14 +1307,24 @@ def _c_attn_bwd_kernel(x_ref, c_ref, dp_ref,
                        wq_ref, bq_ref, wkv_ref, bkv_ref, wp_ref,
                        wcpe_ref, bcpe_ref, maskc_ref,
                        dt1c_ref,
-                       dxt_ref, dc_ref, dq_ref, dkv_ref, oatt_ref, *,
+                       dxt_ref, dc_ref, dq_ref, oatt_ref,
+                       dwkv_ref, dbkv_ref,
+                       dkv_ref, *,
                        scale, num_heads, head_dim, rows, n, m,
                        use_cpe, img_w, g):
     """C-block attention backward: recompute q/k/v, run the thin-query
     attention backward per (row, head-group), and emit the data grads
-    (dxt PRE-CPE-transpose, dc) plus the dq/dkv/oatt streams for the XLA
-    weight-grad einsums."""
+    (dxt PRE-CPE-transpose, dc) plus the thin dq/oatt streams for the
+    XLA weight-grad einsums (both ride the tiny c stream). The WIDE
+    dkv stream lives in VMEM scratch only: dWkv/dbkv accumulate
+    IN-KERNEL (fp32 resident blocks) against the recomputed xa, so the
+    (T, 2C) dump and the XLA norm(x) recompute both disappear."""
     dtype = x_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwkv_ref[...] = jnp.zeros_like(dwkv_ref)
+        dbkv_ref[...] = jnp.zeros_like(dbkv_ref)
     xflat = x_ref[:]
     if use_cpe:
         xflat = _cpe_flat(xflat, wcpe_ref[:], bcpe_ref[0],
@@ -1283,8 +1364,15 @@ def _c_attn_bwd_kernel(x_ref, c_ref, dp_ref,
                               (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     dc_ref[:] = (dt1 + _ln_bwd(dca, cflat)).astype(dtype)
+    # dWkv/dbkv: in-kernel accumulation against the recomputed xa
+    dkv = dkv_ref[:]
+    dwkv_ref[...] += jax.lax.dot_general(
+        xa, dkv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbkv_ref[0:1, :] += jnp.sum(dkv.astype(jnp.float32), axis=0,
+                                keepdims=True)
     # dxt: k/v-projection path (x has no residual through this block)
-    dxa = jax.lax.dot_general(dkv_ref[:], wkv_ref[:],
+    dxa = jax.lax.dot_general(dkv, wkv_ref[:],
                               (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     dxt_ref[:] = _ln_bwd(dxa, xflat).astype(dtype)
@@ -1376,20 +1464,26 @@ def _c_train_bwd_call(x, c, params, cpe, dp, t1c, dco, scale, num_heads,
     c2 = c.reshape(b * m, ch)
     x_spec, c_spec, dp_spec, w_specs = _fwd_specs(b, n, m, ch, rows,
                                                   weights)
-    x2_spec = pl.BlockSpec((rows * n, 2 * ch), lambda bi: (bi, 0),
-                           memory_space=pltpu.VMEM)
+    acc_specs = [pl.BlockSpec((ch, 2 * ch), lambda bi: (0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((8, 2 * ch), lambda bi: (0, 0),
+                              memory_space=pltpu.VMEM)]
+    acc_shapes = [jax.ShapeDtypeStruct((ch, 2 * ch), f32),
+                  jax.ShapeDtypeStruct((8, 2 * ch), f32)]
     sd = lambda r_, c_: jax.ShapeDtypeStruct((r_, c_), x.dtype)
     outs = pl.pallas_call(
         kernel,
         grid=(b // rows,),
         in_specs=[x_spec, c_spec, dp_spec] + w_specs + [c_spec],
-        out_specs=[x_spec, c_spec, c_spec, x2_spec, c_spec],
+        out_specs=[x_spec, c_spec, c_spec, c_spec] + acc_specs,
         out_shape=[sd(b * n, ch), sd(b * m, ch), sd(b * m, ch),
-                   sd(b * n, 2 * ch), sd(b * m, ch)],
+                   sd(b * m, ch)] + acc_shapes,
+        scratch_shapes=[pltpu.VMEM((rows * n, 2 * ch), x.dtype)],
         interpret=_pb._INTERPRET,
         **_compiler_params(),
     )(x2, c2, dparr, *weights, dt1c)
-    (dxt, dc2, dq, dkv, oatt) = outs
+    (dxt, dc2, dq, oatt, dwkv, dbkv) = outs
+    dbkv = dbkv[0]
 
     ein = lambda a_, b_: jax.lax.dot_general(
         a_, b_, (((0,), (0,)), ((), ())), preferred_element_type=f32)
@@ -1399,13 +1493,9 @@ def _c_train_bwd_call(x, c, params, cpe, dp, t1c, dco, scale, num_heads,
     dw2 = ein(gc, dzc)
     db2 = colsum(dzc)
     doc = _xla_do(dt1c, dparr[2], m, x.dtype)
-    ax = _xla_norm(_xla_cpe(x, cpe if use_cpe else None, b, n, ch,
-                            img_w), x.dtype).reshape(b * n, ch)
     ac = _xla_norm(c, x.dtype).reshape(b * m, ch)
     dwq = ein(ac, dq)
     dbq = colsum(dq)
-    dwkv = ein(ax, dkv)
-    dbkv = colsum(dkv)
     dwp = ein(oatt, doc)
     dbp = colsum(doc)
     dparams = (dwq.astype(wq.dtype), dbq.astype(bq.dtype),
