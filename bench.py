@@ -1,9 +1,11 @@
-"""Headline benchmark: LeMeViT-Base 224^2 inference images/sec on one chip.
+"""Headline benchmark: LeMeViT inference images/sec on one chip, per variant.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-Baseline = the reference's published A100-class number for Base at bs 256,
-224^2, AMP (1482.70 img/s, /root/reference/README.md:87); north star is
->=2x per TPU v5e chip (BASELINE.json).
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "variants"}.
+The headline metric/value/vs_baseline stay LeMeViT-Base (the north-star gate,
+BASELINE.json: >=2x per TPU v5e chip); "variants" carries tiny/small/base so
+BENCH_rN tracks all three classification variants (VERDICT r3 item 2).
+Baselines = the reference's published A100-class numbers at bs 256, 224^2,
+AMP (/root/reference/README.md:85-87).
 """
 from __future__ import annotations
 
@@ -16,16 +18,21 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-REF_BASE_IMGS_PER_SEC = 1482.70
+# /root/reference/README.md:85-87 (benchmark.py --bench both --batch-size 256
+# --img-size 224 --amp --channels-last)
+REF_IMGS_PER_SEC = {
+    "lemevit_tiny": 5316.58,
+    "lemevit_small": 3608.12,
+    "lemevit_base": 1482.70,
+}
 
 
-def main():
+def bench_variant(name: str, on_tpu: bool) -> float:
     from lemevit_tpu.models import create_model
 
-    on_tpu = jax.default_backend() == "tpu"
     batch = 256 if on_tpu else 8
     model = create_model(
-        "lemevit_base", num_classes=1000,
+        name, num_classes=1000,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, 224, 224, 3), jnp.float32)
@@ -46,13 +53,26 @@ def main():
         out = forward(variables, x)
     float(out.sum())
     dt = time.perf_counter() - t0
-    ips = batch * n_iter / dt
+    return batch * n_iter / dt
 
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    variants = {}
+    for name, ref in REF_IMGS_PER_SEC.items():
+        ips = bench_variant(name, on_tpu)
+        variants[name] = {
+            "value": round(ips, 2),
+            "vs_baseline": round(ips / ref, 3),
+        }
+
+    base = variants["lemevit_base"]
     print(json.dumps({
         "metric": "lemevit_base_224_inference",
-        "value": round(ips, 2),
+        "value": base["value"],
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips / REF_BASE_IMGS_PER_SEC, 3),
+        "vs_baseline": base["vs_baseline"],
+        "variants": variants,
     }))
 
 

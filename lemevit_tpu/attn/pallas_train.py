@@ -479,8 +479,7 @@ def _dca_train_fwd_kernel(x_ref, c_ref, dp_ref,
 # ---------------------------------------------------------------------------
 
 def _mlp_bwd_kernel(t1_ref, dout_ref, dzv_ref, w1_ref, b1_ref, w2_ref,
-                    dt1_ref, dw1_ref, db1_ref, dw2_ref, *,
-                    grid_steps):
+                    dt1_ref, dw1_ref, db1_ref, dw2_ref):
     """Flat-token MLP backward tile: t1 + upstream grads -> dt1,
     recomputing LN/fc1/GELU in VMEM (one HBM pass over the (T, hidden)
     intermediates instead of XLA's materialized round trips). dzv (the
@@ -491,7 +490,6 @@ def _mlp_bwd_kernel(t1_ref, dout_ref, dzv_ref, w1_ref, b1_ref, w2_ref,
     pair in XLA, which materialized multi-GB intermediates at stage-1
     scale and made the XLA weight-grad pass 55% of the block backward.
     db2 = colsum(dzv) stays in XLA (dzv is an XLA-visible array)."""
-    del grid_steps
     dtype = t1_ref.dtype
     fast = dtype == jnp.bfloat16
     t1 = t1_ref[:]
@@ -558,10 +556,8 @@ def _mlp_bwd_call(t1x, t1c, dxo, dco, dparr, w1, b1, w2):
         spec = pl.BlockSpec((bt, ch), lambda bi: (bi, 0),
                             memory_space=pltpu.VMEM)
         sd = jax.ShapeDtypeStruct((total, ch), t1.dtype)
-        kernel = functools.partial(_mlp_bwd_kernel,
-                                   grid_steps=total // bt)
         dt1, dw1, db1, dw2 = pl.pallas_call(
-            kernel,
+            _mlp_bwd_kernel,
             grid=(total // bt,),
             in_specs=[spec, spec, spec] + _wspec([w.shape for w in weights]),
             out_specs=[spec] + acc_specs,
