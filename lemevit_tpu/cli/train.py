@@ -40,11 +40,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decode in N forked worker processes instead of "
                         "threads (GIL-free input pipeline; see "
                         "scripts/loaderbench.py)")
-    p.add_argument("--native-decode", action="store_true",
-                   help="C++ JPEG decode+crop plane (GIL released: thread "
-                        "workers scale across cores; falls back to PIL "
-                        "per-image for non-JPEG inputs). Incompatible "
-                        "with --aug-splits (PIL path only).")
+    p.add_argument("--native-decode", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="C++ JPEG/PNG decode+crop plane (GIL released: "
+                        "thread workers scale across cores; falls back to "
+                        "PIL per-image for other formats). Default: ON "
+                        "when native/libleme_data.so builds and "
+                        "--aug-splits is off (PIL path only).")
+    p.add_argument("--packed-data", default="",
+                   help="packed uint8 cache dir (scripts/pack.py / "
+                        "lemevit_tpu.data.packed): host streams raw "
+                        "samples by memmap, ALL augmentation (RRC, flip, "
+                        "RandAugment) runs on device inside the jit step")
     p.add_argument("--synthetic", action="store_true")
     # model
     p.add_argument("--model", default="lemevit_tiny")
@@ -186,6 +193,7 @@ def train(args, args_text: str = ""):
             logger.info("aug-splits: disabling mixup/cutmix (JSD path "
                         "takes hard targets, as in the reference)")
             args.mixup = args.cutmix = 0.0
+    device_aug_fn = None  # packed path: ALL aug inside the jit step
     if args.synthetic:
         train_ds = create_dataset("synthetic", num_samples=global_batch * 8,
                                   image_size=args.img_size,
@@ -195,7 +203,29 @@ def train(args, args_text: str = ""):
                                 num_classes=args.num_classes)
         if aug_splits:
             train_ds = _SplitViews(train_ds, aug_splits)
+    elif args.packed_data:
+        if aug_splits:
+            raise SystemExit("--packed-data does not support --aug-splits "
+                             "(AugMix/JSD runs on the host PIL pipeline)")
+        from lemevit_tpu.data.device_aug import make_train_aug
+        from lemevit_tpu.data.packed import PackedDataset
+        train_ds = PackedDataset(
+            os.path.join(args.packed_data, args.train_split))
+        val_ds = PackedDataset(
+            os.path.join(args.packed_data, args.val_split))
+        device_aug_fn = make_train_aug(
+            args.img_size, hflip=args.hflip, auto_augment=args.aa)
+        logger.info("packed data plane: %d/%d samples @ %dpx, device aug",
+                    len(train_ds), len(val_ds), train_ds.px)
     else:
+        native = args.native_decode
+        if native is None:
+            from lemevit_tpu.data import native_decode as nd
+            native = nd.available() and not aug_splits
+            if native:
+                logger.info("native decode plane ON (auto; "
+                            "--no-native-decode to disable)")
+        args.native_decode = native
         if aug_splits:
             from lemevit_tpu.data.transforms import build_augsplit_transform
             train_tf = build_augsplit_transform(
@@ -225,13 +255,22 @@ def train(args, args_text: str = ""):
     # multi-host: each process loads its shard of every batch
     device_batch = args.batch_size * mesh.shape["data"]
     proc, nproc = jax.process_index(), jax.process_count()
+    train_spec = val_spec = None
+    if args.worker_procs and not args.synthetic:
+        # picklable dataset specs let worker processes SPAWN (fresh
+        # interpreters, no fork of the JAX-initialized parent)
+        from lemevit_tpu.data.spawn import spec_for_split
+        train_spec = spec_for_split(args, args.train_split, True, aug_splits)
+        val_spec = spec_for_split(args, args.val_split, False)
     train_loader = create_loader(train_ds, device_batch // nproc,
                                  is_training=True, num_threads=args.workers,
                                  num_procs=args.worker_procs,
+                                 dataset_spec=train_spec,
                                  seed=args.seed, rank=proc, world_size=nproc)
     val_loader = create_loader(val_ds, device_batch // nproc,
                                is_training=False, num_threads=args.workers,
                                num_procs=args.worker_procs,
+                               dataset_spec=val_spec,
                                rank=proc, world_size=nproc)
     steps_per_epoch = args.steps_per_epoch or max(len(train_loader), 1)
 
@@ -319,7 +358,12 @@ def train(args, args_text: str = ""):
         def full_train_step(state, batch, rng):
             aug_rng, step_rng = jax.random.split(
                 jax.random.fold_in(rng, state.step))
-            images = normalize(batch["image"])
+            if device_aug_fn is not None:
+                # packed path: RRC + flip + RandAugment on device
+                images = normalize(device_aug_fn(
+                    jax.random.fold_in(aug_rng, 2), batch["image"]))
+            else:
+                images = normalize(batch["image"])
             if aug_splits:
                 # (B, S, H, W, C) u8 -> (S, B, H, W, C); erasing per view
                 images = jnp.swapaxes(images, 0, 1)
@@ -362,6 +406,9 @@ def train(args, args_text: str = ""):
 
         @jax.jit
         def val_step(variables, images_u8, labels):
+            if device_aug_fn is not None:
+                from lemevit_tpu.data.device_aug import center_crop
+                images_u8 = center_crop(images_u8, args.img_size)
             logits = model.apply(_eval_vars(variables), normalize(images_u8),
                                  train=False)
             return eval_metrics(logits, labels)

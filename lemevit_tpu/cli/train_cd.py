@@ -82,7 +82,11 @@ def prf1(tp, fp, fn) -> Dict[str, float]:
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    from lemevit_tpu.utils.parser import parse_args_with_config
+    args, args_text = parse_args_with_config(build_parser(), argv)
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "args.yaml"), "w") as f:
+        f.write(args_text)
 
     import jax
     import jax.numpy as jnp

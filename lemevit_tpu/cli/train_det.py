@@ -26,6 +26,18 @@ def build_parser():
     p.add_argument("--epochs", type=int, default=12)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--weight-decay", type=float, default=0.05)
+    p.add_argument("--sched", default="cosine", choices=["cosine", "step"],
+                   help="'step' = the reference's mmcv schedule of record "
+                        "(schedule_1x/2x/3x: epoch milestones + iteration "
+                        "warmup)")
+    p.add_argument("--decay-milestones", type=float, nargs="*",
+                   default=[8, 11])
+    p.add_argument("--decay-rate", type=float, default=0.1)
+    p.add_argument("--warmup-iters", type=int, default=500)
+    p.add_argument("--warmup-ratio", type=float, default=1e-3)
+    p.add_argument("--clip-grad", type=float, default=None,
+                   help="global-norm gradient clip (reference "
+                        "optimizer_config grad_clip max_norm=35)")
     p.add_argument("--num-proposals", type=int, default=256)
     p.add_argument("--rpn-nms-pre", type=int, default=512,
                    help="per-level pre-NMS top-k in the RPN (reference "
@@ -56,7 +68,11 @@ def build_parser():
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    from lemevit_tpu.utils.parser import parse_args_with_config
+    args, args_text = parse_args_with_config(build_parser(), argv)
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "args.yaml"), "w") as f:
+        f.write(args_text)
 
     import jax
     import jax.numpy as jnp
@@ -123,9 +139,19 @@ def main(argv=None):
         variables = {"params": params, "batch_stats": stats}
 
     total = args.epochs * steps_per_epoch
-    sched = optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, max(total // 20, 1), max(total, 2))
+    if args.sched == "step":
+        from lemevit_tpu.train.optim import mm_step_schedule
+        sched = mm_step_schedule(args.lr, steps_per_epoch,
+                                 milestones=args.decay_milestones,
+                                 gamma=args.decay_rate,
+                                 warmup_iters=args.warmup_iters,
+                                 warmup_ratio=args.warmup_ratio)
+    else:
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, max(total // 20, 1), max(total, 2))
     tx = optax.adamw(sched, weight_decay=args.weight_decay)
+    if args.clip_grad:
+        tx = optax.chain(optax.clip_by_global_norm(args.clip_grad), tx)
     state = TrainState(step=jnp.zeros((), jnp.int32),
                        params=variables["params"],
                        batch_stats=variables.get("batch_stats", {}),

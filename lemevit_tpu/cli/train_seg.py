@@ -27,7 +27,14 @@ def build_parser():
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--iters", type=int, default=80000)
     p.add_argument("--lr", type=float, default=4e-4)
-    p.add_argument("--weight-decay", type=float, default=0.01)
+    p.add_argument("--weight-decay", type=float, default=0.05)
+    p.add_argument("--min-lr", type=float, default=0.0)
+    p.add_argument("--warmup-iters", type=int, default=1500)
+    p.add_argument("--warmup-ratio", type=float, default=1e-6)
+    p.add_argument("--ignore-index", type=int, default=None,
+                   help="label value excluded from loss and metrics "
+                        "(reference Potsdam recipe: num_classes 5, "
+                        "ignore_index 5 — mmseg avg_non_ignore CE)")
     p.add_argument("--aux-weight", type=float, default=0.4)
     p.add_argument("--channels", type=int, default=512)
     p.add_argument("--eval-interval", type=int, default=8000)
@@ -44,7 +51,8 @@ class SegDataset:
     """{split}/images/*.png + {split}/labels/*.png paired dataset with
     scale-jitter (0.5-2.0) random crop, flip, photometric jitter."""
 
-    def __init__(self, root, split, crop, num_classes, train=True):
+    def __init__(self, root, split, crop, num_classes, train=True,
+                 ignore_index=None):
         from PIL import Image  # noqa: F401
         self.img_dir = os.path.join(root, split, "images")
         self.lbl_dir = os.path.join(root, split, "labels")
@@ -52,6 +60,7 @@ class SegDataset:
         self.crop = crop
         self.train = train
         self.num_classes = num_classes
+        self.ignore_index = ignore_index
 
     def __len__(self):
         return len(self.names)
@@ -83,6 +92,11 @@ class SegDataset:
         mask = np.asarray(lbl, np.int32)
         if mask.ndim == 3:
             mask = mask[..., 0].astype(np.int32)
+        if self.ignore_index is not None:
+            # out-of-range labels fold into the ignored bucket
+            mask = np.where((mask >= 0) & (mask < self.num_classes),
+                            mask, self.ignore_index)
+            return arr, mask
         return arr, np.clip(mask, 0, self.num_classes - 1)
 
 
@@ -119,7 +133,11 @@ def seg_metrics(conf: np.ndarray) -> dict:
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    from lemevit_tpu.utils.parser import parse_args_with_config
+    args, args_text = parse_args_with_config(build_parser(), argv)
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "args.yaml"), "w") as f:
+        f.write(args_text)
 
     import jax
     import jax.numpy as jnp
@@ -146,9 +164,11 @@ def main(argv=None):
                                args.num_classes)
     else:
         train_ds = SegDataset(args.data_dir, "train", args.crop_size,
-                              args.num_classes, train=True)
+                              args.num_classes, train=True,
+                              ignore_index=args.ignore_index)
         val_ds = SegDataset(args.data_dir, "val", args.crop_size,
-                            args.num_classes, train=False)
+                            args.num_classes, train=False,
+                            ignore_index=args.ignore_index)
     loader = create_loader(train_ds, args.batch_size, is_training=True,
                            num_threads=args.workers, collate_fn=_collate)
 
@@ -167,8 +187,11 @@ def main(argv=None):
             stats["backbone"] = bb["batch_stats"]
         variables = {"params": params, "batch_stats": stats}
 
-    sched = optax.polynomial_schedule(args.lr, 1e-6, power=1.0,
-                                      transition_steps=args.iters)
+    from lemevit_tpu.train.optim import warmup_poly_schedule
+    sched = warmup_poly_schedule(args.lr, args.iters, power=1.0,
+                                 min_lr=args.min_lr,
+                                 warmup_iters=args.warmup_iters,
+                                 warmup_ratio=args.warmup_ratio)
     tx = optax.adamw(sched, weight_decay=args.weight_decay)
     state = TrainState(step=jnp.zeros((), jnp.int32),
                        params=variables["params"],
@@ -185,7 +208,11 @@ def main(argv=None):
         def ce(lg):
             logp = jax.nn.log_softmax(lg.astype(jnp.float32), -1)
             oh = jax.nn.one_hot(batch["mask"], args.num_classes)
-            return -(oh * logp).sum(-1).mean()
+            pix = -(oh * logp).sum(-1)
+            if args.ignore_index is None:
+                return pix.mean()
+            valid = (batch["mask"] != args.ignore_index).astype(jnp.float32)
+            return (pix * valid).sum() / jnp.maximum(valid.sum(), 1.0)
         loss = ce(logits) + args.aux_weight * ce(aux)
         return loss, mut.get("batch_stats", {})
 
@@ -209,7 +236,11 @@ def main(argv=None):
         for i in range(len(val_ds)):
             img, mask = val_ds[i]
             pred = np.asarray(infer(state, jnp.asarray(img)[None]))[0]
-            idx = mask.reshape(-1) * args.num_classes + pred.reshape(-1)
+            m, p = mask.reshape(-1), pred.reshape(-1)
+            if args.ignore_index is not None:
+                keep = m != args.ignore_index
+                m, p = m[keep], p[keep]
+            idx = m * args.num_classes + p
             conf += np.bincount(
                 idx, minlength=args.num_classes ** 2).reshape(
                 args.num_classes, args.num_classes)

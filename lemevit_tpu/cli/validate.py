@@ -30,6 +30,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--img-size", type=int, default=224)
     p.add_argument("--crop-pct", type=float, default=0.9)
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--native-decode", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="C++ decode+center-crop plane; default ON when "
+                        "native/libleme_data.so builds")
+    p.add_argument("--packed-data", default="",
+                   help="packed uint8 cache dir (scripts/pack.py); "
+                        "center-crop runs on device")
     p.add_argument("--bf16", action="store_true", default=None)
     p.add_argument("--results-file", default="")
     p.add_argument("--synthetic", action="store_true",
@@ -72,19 +79,37 @@ def validate(args) -> dict:
             jax.random.PRNGKey(0),
             jnp.zeros((1, args.img_size, args.img_size, 3), jnp.float32))
 
+    packed = bool(args.packed_data)
     if args.synthetic:
         dataset = create_dataset("synthetic", num_samples=4 * args.batch_size,
                                  image_size=args.img_size,
                                  num_classes=args.num_classes)
+    elif packed:
+        from lemevit_tpu.data.packed import PackedDataset
+        dataset = PackedDataset(os.path.join(args.packed_data, args.split))
     else:
+        native = args.native_decode
+        if native is None:
+            from lemevit_tpu.data import native_decode as nd
+            native = nd.available()
+        if native:
+            from lemevit_tpu.data.transforms import \
+                build_native_eval_transform
+            eval_tf = build_native_eval_transform(args.img_size,
+                                                  args.crop_pct)
+        else:
+            eval_tf = build_eval_transform(args.img_size, args.crop_pct)
         dataset = create_dataset(
             args.dataset, args.data_dir, split=args.split,
-            transform=build_eval_transform(args.img_size, args.crop_pct))
+            transform=eval_tf)
     loader = create_loader(dataset, args.batch_size, is_training=False,
                            num_threads=args.workers)
 
     @jax.jit
     def step(variables, images_u8, labels):
+        if packed:
+            from lemevit_tpu.data.device_aug import center_crop
+            images_u8 = center_crop(images_u8, args.img_size)
         images = normalize(images_u8)
         logits = model.apply(variables, images, train=False)
         if args.tta:

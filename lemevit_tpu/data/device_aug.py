@@ -1,0 +1,319 @@
+"""Device-side train augmentation: the whole aug stack inside the jit step.
+
+TPU-first answer to the reference's DataLoader-worker augmentation
+(/root/reference/main.py:395-448 + timm create_loader): with the packed
+uint8 cache (data/packed.py) the host only streams raw fixed-size samples
+by memmap; RandomResizedCrop, horizontal flip, and RandAugment
+(rand-m9-mstd0.5-inc1, the recipe of record in configs/lemevit.yaml) all
+run ON THE CHIP, vectorized over the batch, fused by XLA into the train
+step. A 1-core host that decodes ~150 JPEG img/s can then feed a chip
+consuming thousands img/s, because its data-plane work drops to a memcpy.
+
+Semantics follow this repo's PIL implementations (data/transforms.py
+RA_OPS — themselves the timm policy), with documented deviations:
+  - geometric warps (rotate/shear/translate) sample bilinear, not bicubic,
+    and the resize kernels are jax.image cubic, not PIL's; augmentation is
+    a distribution, not a numerics contract, so op-level tests compare
+    against PIL with loose tolerances.
+  - RandomResizedCrop samples the same (scale, ratio, 10-try) distribution
+    but from the PACKED image (short-side-resized, center-cropped square),
+    so crops near the long-image edges are unreachable and small crops are
+    upsampled from pack_px resolution — the standard FFCV-style tradeoff.
+
+Every op is fixed-shape and branchless (per-image op choice is realized by
+computing each elementwise candidate on the warped image and selecting),
+which is exactly what XLA wants: one fused elementwise pipeline + one
+gather-based warp + one sort-based equalize per RandAugment layer.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# ------------------------------------------------------------------ warp
+
+
+def _affine_warp(img: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
+    """PIL-convention affine: output (x,y) samples input at
+    (a x + b y + c, d x + e y + f); bilinear, fill 0 outside (PIL default
+    fill for transform/rotate as used by transforms.py RA ops)."""
+    h, w = img.shape[0], img.shape[1]
+    ys, xs = jnp.mgrid[0:h, 0:w].astype(jnp.float32)
+    a, b, c, d, e, f = [mat[i] for i in range(6)]
+    # PIL applies the matrix in the pixel-center frame (+0.5 in, -0.5 out)
+    xin = a * (xs + 0.5) + b * (ys + 0.5) + c - 0.5
+    yin = d * (xs + 0.5) + e * (ys + 0.5) + f - 0.5
+    x0 = jnp.floor(xin)
+    y0 = jnp.floor(yin)
+    wx = (xin - x0)[..., None]
+    wy = (yin - y0)[..., None]
+
+    def tap(yi, xi):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        return img[yc, xc] * valid[..., None]
+
+    out = ((1 - wx) * (1 - wy) * tap(y0, x0)
+           + wx * (1 - wy) * tap(y0, x0 + 1)
+           + (1 - wx) * wy * tap(y0 + 1, x0)
+           + wx * wy * tap(y0 + 1, x0 + 1))
+    return out
+
+
+# ------------------------------------------------- elementwise RA ops
+# Magnitude mappings mirror data/transforms.py (mag in [0, 10], level 9
+# nominal). All take/return float32 images in [0, 255].
+
+
+def _gray(img):
+    # PIL L-mode weights
+    return (0.299 * img[..., 0] + 0.587 * img[..., 1]
+            + 0.114 * img[..., 2])[..., None]
+
+
+def _autocontrast(img, _mag, _u):
+    lo = img.min(axis=(0, 1), keepdims=True)
+    hi = img.max(axis=(0, 1), keepdims=True)
+    scale = 255.0 / jnp.maximum(hi - lo, 1e-5)
+    out = (img - lo) * scale
+    return jnp.where(hi > lo, out, img)
+
+
+def _equalize(img, _mag, _u):
+    """PIL ImageOps.equalize: per channel, lut[i] = (step//2 +
+    cumsum_{j<i} h[j]) // step with step = (N - count(last nonzero
+    bin)) // 255; identity when step == 0. Histogram via sort +
+    searchsorted (no scatter: Mosaic/XLA-friendly)."""
+    h, w = img.shape[0], img.shape[1]
+    n = h * w
+
+    def one_channel(ch):
+        pix = jnp.round(ch.reshape(-1)).astype(jnp.int32)
+        srt = jnp.sort(pix)
+        edges = jnp.searchsorted(srt, jnp.arange(257), side="left")
+        hist = (edges[1:] - edges[:-1]).astype(jnp.int32)  # (256,)
+        nonzero = hist > 0
+        last_idx = 255 - jnp.argmax(nonzero[::-1])
+        step = (n - hist[last_idx]) // 255
+        cum = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(hist)[:-1]])
+        lut = jnp.where(step > 0, (step // 2 + cum) //
+                        jnp.maximum(step, 1), jnp.arange(256))
+        lut = jnp.clip(lut, 0, 255).astype(jnp.float32)
+        return lut[jnp.clip(pix, 0, 255)].reshape(h, w)
+
+    return jnp.stack([one_channel(img[..., c]) for c in range(3)], axis=-1)
+
+
+def _invert(img, _mag, _u):
+    return 255.0 - img
+
+
+def _posterize(img, mag, _u):
+    bits = jnp.maximum(1, 8 - (mag / 9.0 * 4).astype(jnp.int32))
+    mask = (0xFF << (8 - bits)) & 0xFF
+    return jnp.bitwise_and(jnp.round(img).astype(jnp.int32), mask) \
+        .astype(jnp.float32)
+
+
+def _solarize(img, mag, _u):
+    # int() truncation matches transforms._solarize's PIL threshold
+    thr = jnp.maximum(0.0, jnp.trunc(256.0 - mag / 9.0 * 256.0))
+    return jnp.where(img >= thr, 255.0 - img, img)
+
+
+def _solarize_add(img, mag, _u):
+    add = jnp.floor(mag / 9.0 * 110.0)
+    return jnp.where(img < 128.0, jnp.clip(img + add, 0, 255), img)
+
+
+def _enhance_factor(mag, u):
+    sign = jnp.where(u < 0.5, 1.0, -1.0)
+    return jnp.maximum(0.1, 1.0 + (mag / 9.0) * 0.9 * sign)
+
+
+def _color(img, mag, u):
+    v = _enhance_factor(mag, u)
+    g = _gray(img)
+    return g + v * (img - g)
+
+
+def _contrast(img, mag, u):
+    v = _enhance_factor(mag, u)
+    # PIL Contrast: blend with the mean of the grayscale image (+0.5 round)
+    mean = jnp.floor(_gray(img).mean() + 0.5)
+    return mean + v * (img - mean)
+
+
+def _brightness(img, mag, u):
+    return _enhance_factor(mag, u) * img
+
+
+def _sharpness(img, mag, u):
+    v = _enhance_factor(mag, u)
+    # PIL SMOOTH kernel [[1,1,1],[1,5,1],[1,1,1]]/13; border rows/cols
+    # stay un-filtered (PIL computes the interior only)
+    p = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    sm = (p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+          + p[1:-1, :-2] + 5.0 * p[1:-1, 1:-1] + p[1:-1, 2:]
+          + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]) / 13.0
+    interior = jnp.zeros(img.shape[:2], bool).at[1:-1, 1:-1].set(True)
+    sm = jnp.where(interior[..., None], sm, img)
+    return sm + v * (img - sm)
+
+
+_EW_OPS = [_autocontrast, _equalize, _invert, _posterize, _solarize,
+           _solarize_add, _color, _contrast, _brightness, _sharpness]
+_N_GEO = 5   # rotate, shear x/y, translate x/y
+_N_OPS = _N_GEO + len(_EW_OPS)   # 15, the full rand-inc1 policy
+
+
+def _geo_matrix(choice, mag, u_sign, h, w):
+    """Affine matrix for the geometric ops; identity when ``choice`` is an
+    elementwise op. choice codes: 0 rotate, 1 shear-x, 2 shear-y,
+    3 translate-x, 4 translate-y, >=5 elementwise."""
+    sign = jnp.where(u_sign < 0.5, 1.0, -1.0)
+    ident = jnp.array([1.0, 0.0, 0.0, 0.0, 1.0, 0.0])
+
+    deg = mag / 9.0 * 30.0 * sign
+    rad = deg * (math.pi / 180.0)
+    cx, cy = w / 2.0, h / 2.0
+    cos, sin = jnp.cos(rad), jnp.sin(rad)
+    # PIL rotate(deg) builds the output->input matrix from -deg about the
+    # center: [cos, -sin, *, sin, cos, *] (counterclockwise content spin)
+    rot = jnp.array([cos, -sin, cx - cos * cx + sin * cy,
+                     sin, cos, cy - sin * cx - cos * cy])
+
+    sv = mag / 9.0 * 0.3 * sign
+    shx = jnp.array([1.0, sv, 0.0, 0.0, 1.0, 0.0])
+    shy = jnp.array([1.0, 0.0, 0.0, sv, 1.0, 0.0])
+
+    tx = jnp.floor(mag / 9.0 * 0.45 * sign * w)
+    ty = jnp.floor(mag / 9.0 * 0.45 * sign * h)
+    trx = jnp.array([1.0, 0.0, tx, 0.0, 1.0, 0.0])
+    try_ = jnp.array([1.0, 0.0, 0.0, 0.0, 1.0, ty])
+
+    mats = jnp.stack([rot, shx, shy, trx, try_])
+    geo = mats[jnp.clip(choice, 0, _N_GEO - 1)]
+    return jnp.where(choice < _N_GEO, geo, ident)
+
+
+def _ra_layer(key, img, magnitude, mag_std):
+    k_choice, k_mag, k_sign, k_u = jax.random.split(key, 4)
+    choice = jax.random.randint(k_choice, (), 0, _N_OPS)
+    mag = magnitude + mag_std * jax.random.normal(k_mag)
+    mag = jnp.clip(mag, 0.0, 10.0)
+    u_sign = jax.random.uniform(k_sign)
+    u = jax.random.uniform(k_u)
+
+    h, w = img.shape[0], img.shape[1]
+    mat = _geo_matrix(choice, mag, u_sign, h, w)
+    # identity matrix -> bilinear taps at integer coords -> exact copy,
+    # so elementwise candidates can safely start from `warped`
+    warped = _affine_warp(img, mat)
+    out = warped
+    for i, op in enumerate(_EW_OPS):
+        out = jnp.where(choice == _N_GEO + i, op(warped, mag, u_sign), out)
+    return jnp.clip(out, 0.0, 255.0)
+
+
+# ------------------------------------------------------------------ RRC
+
+
+def _rrc_one(key, img, out_px, scale, ratio, method):
+    """RandomResizedCrop with the 10-try (scale, log-ratio) sampling of
+    transforms.random_resized_crop, resolved branchlessly; resample via
+    scale_and_translate (cubic ~ PIL bicubic)."""
+    s = img.shape[0]  # packed images are square (S, S, 3)
+    k_area, k_ratio, k_xy = jax.random.split(key, 3)
+    areas = s * s * jax.random.uniform(k_area, (10,), minval=scale[0],
+                                       maxval=scale[1])
+    aspects = jnp.exp(jax.random.uniform(
+        k_ratio, (10,), minval=math.log(ratio[0]),
+        maxval=math.log(ratio[1])))
+    cws = jnp.round(jnp.sqrt(areas * aspects))
+    chs = jnp.round(jnp.sqrt(areas / aspects))
+    valid = (cws > 0) & (cws <= s) & (chs > 0) & (chs <= s)
+    first = jnp.argmax(valid)  # first True, or 0 if none
+    any_valid = valid.any()
+    cw = jnp.where(any_valid, cws[first], float(s))
+    ch = jnp.where(any_valid, chs[first], float(s))
+    u, v = jax.random.uniform(k_xy, (2,))
+    x0 = jnp.floor(u * (s - cw + 1))
+    y0 = jnp.floor(v * (s - ch + 1))
+    sx = out_px / cw
+    sy = out_px / ch
+    return jax.image.scale_and_translate(
+        img, (out_px, out_px, 3), (0, 1),
+        jnp.stack([sy, sx]), jnp.stack([-y0 * sy, -x0 * sx]),
+        method=method)
+
+
+# ----------------------------------------------------------- pipelines
+
+
+def parse_rand_augment(aa: Optional[str]) -> Optional[dict]:
+    """timm aa string -> dict(num_ops, magnitude, mag_std) — the same
+    token grammar as transforms.build_aug_policy's rand branch. None for
+    no-aug; ValueError for policies with no device implementation."""
+    if not aa:
+        return None
+    if not aa.startswith("rand"):
+        raise ValueError(
+            f"device-side aug supports rand-* policies only, got {aa!r} "
+            "(use the host PIL pipeline for augmix/--aug-splits)")
+    mag, mag_std, num_ops = 9.0, 0.5, 2
+    for tok in aa.split("-")[1:]:
+        if tok.startswith("mstd"):
+            mag_std = float(tok[4:])
+        elif tok.startswith("m"):
+            mag = float(tok[1:])
+        elif tok.startswith("n"):
+            num_ops = int(tok[1:])
+    return {"num_ops": num_ops, "magnitude": mag, "mag_std": mag_std}
+
+
+def make_train_aug(img_size: int = 224, hflip: float = 0.5,
+                   auto_augment: Optional[str] = "rand-m9-mstd0.5-inc1",
+                   scale: Tuple[float, float] = (0.08, 1.0),
+                   ratio: Tuple[float, float] = (3 / 4, 4 / 3),
+                   method: str = "cubic") -> Callable:
+    """Returns aug_fn(rng, images_u8 (B,S,S,3)) -> float32 (B,H,W,3) in
+    [0,255]: RRC + hflip + RandAugment, all on device, vmapped."""
+    ra = parse_rand_augment(auto_augment)
+
+    def one(key, img_u8):
+        img = img_u8.astype(jnp.float32)
+        k_crop, k_flip, k_ra = jax.random.split(key, 3)
+        img = _rrc_one(k_crop, img, img_size, scale, ratio, method)
+        if hflip > 0:
+            img = jnp.where(jax.random.uniform(k_flip) < hflip,
+                            img[:, ::-1], img)
+        img = jnp.clip(img, 0.0, 255.0)
+        if ra is not None:
+            for i in range(ra["num_ops"]):
+                img = _ra_layer(jax.random.fold_in(k_ra, i), img,
+                                ra["magnitude"], ra["mag_std"])
+        return img
+
+    @functools.partial(jax.named_call, name="device_aug")
+    def aug_fn(rng, images_u8):
+        keys = jax.random.split(rng, images_u8.shape[0])
+        return jax.vmap(one)(keys, images_u8)
+
+    return aug_fn
+
+
+def center_crop(images: jnp.ndarray, out_px: int) -> jnp.ndarray:
+    """Eval-path crop from packed squares (pack at >= out/crop_pct px for
+    reference-equivalent eval framing)."""
+    s = images.shape[1]
+    if s < out_px:
+        raise ValueError(f"packed px {s} < crop {out_px}")
+    y0 = (s - out_px) // 2
+    return images[:, y0:y0 + out_px, y0:y0 + out_px, :]

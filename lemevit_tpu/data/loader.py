@@ -40,19 +40,26 @@ class Loader:
         device_put: bool = False,
         device_prefetch: int = 2,
         num_procs: int = 0,
+        dataset_spec=None,
     ):
-        """num_procs > 0 decodes in forked WORKER PROCESSES instead of
-        threads — the GIL-free path (PIL releases the GIL inside libjpeg
-        but the numpy augment ops do not, so thread decode tops out at
-        ~1 core; see scripts/loaderbench.py). Workers inherit the
-        dataset by fork (no pickling of transforms) and return collated
-        batches over a queue."""
+        """num_procs > 0 decodes in WORKER PROCESSES instead of threads —
+        the GIL-free path (PIL releases the GIL inside libjpeg but the
+        numpy augment ops do not, so thread decode tops out at ~1 core;
+        see scripts/loaderbench.py).
+
+        With ``dataset_spec`` (a data.spawn.DatasetSpec), workers are
+        SPAWNED in fresh interpreters that build the dataset themselves —
+        safe after JAX backend init (forking a JAX-initialized
+        multithreaded process can deadlock; VERDICT r3). Without a spec,
+        workers fall back to fork-inheriting the dataset (only safe
+        before any JAX computation)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_threads = max(1, num_threads)
         self.num_procs = num_procs
+        self.dataset_spec = dataset_spec
         self.seed = seed
         self.rank = rank
         self.world_size = world_size
@@ -135,16 +142,29 @@ class Loader:
 
 
     def _iter_procs(self, start: int = 0) -> Iterator[Dict[str, Any]]:
-        """Fork-based worker-process decode (GIL-free). Each worker
-        handles a stride of the batch indices and pushes collated numpy
-        batches through an mp.Queue; the parent reorders into sequential
-        batch order (same contract as the thread path)."""
+        """Worker-process decode (GIL-free). Each worker handles a stride
+        of the batch indices and pushes collated numpy batches through an
+        mp.Queue; the parent reorders into sequential batch order (same
+        contract as the thread path). Spawn + DatasetSpec when available
+        (safe after JAX init); fork-inherit otherwise."""
         import multiprocessing as mp
 
-        ctx = mp.get_context("fork")
         idx = self._indices()
         nb = len(self)
-        out_q: "mp.Queue" = ctx.Queue(maxsize=self.num_procs * 4)
+        if self.dataset_spec is not None:
+            ctx = mp.get_context("spawn")
+            out_q: "mp.Queue" = ctx.Queue(maxsize=self.num_procs * 4)
+            procs = [
+                ctx.Process(
+                    target=_spawn_worker,
+                    args=(self.dataset_spec, idx, start + w, nb,
+                          self.num_procs, self.batch_size, out_q),
+                    daemon=True)
+                for w in range(self.num_procs)]
+            yield from self._drain_procs(procs, out_q, start, nb)
+            return
+        ctx = mp.get_context("fork")
+        out_q = ctx.Queue(maxsize=self.num_procs * 4)
 
         def worker(wid: int):
             for bi in range(start + wid, nb, self.num_procs):
@@ -156,6 +176,9 @@ class Loader:
 
         procs = [ctx.Process(target=worker, args=(w,), daemon=True)
                  for w in range(self.num_procs)]
+        yield from self._drain_procs(procs, out_q, start, nb)
+
+    def _drain_procs(self, procs, out_q, start: int, nb: int):
         for p in procs:
             p.start()
         try:
@@ -180,6 +203,19 @@ class Loader:
                 p.terminate()
             for p in procs:
                 p.join(timeout=5)
+
+
+def _spawn_worker(spec, idx, first, nb, stride, batch_size, out_q):
+    """Module-level target for spawn workers: builds the dataset from its
+    picklable spec (fresh interpreter, no JAX import) and streams collated
+    batches. idx is the epoch's full index permutation."""
+    dataset = spec.build()
+    for bi in range(first, nb, stride):
+        lo = bi * batch_size
+        batch_idx = idx[lo:lo + batch_size]
+        samples = [dataset[int(i)] for i in batch_idx]
+        out_q.put((bi, default_collate(samples)))
+    out_q.put(None)
 
 
 def default_collate(samples) -> Dict[str, np.ndarray]:

@@ -82,6 +82,49 @@ def build_lr_schedule(
     return optax.join_schedules([warmup, main], [warmup_steps])
 
 
+def mm_step_schedule(base_lr: float, steps_per_epoch: int,
+                     milestones=(8, 11), gamma: float = 0.1,
+                     warmup_iters: int = 500, warmup_ratio: float = 1e-3):
+    """mmcv StepLrUpdater + linear warmup, the schedule of record for the
+    detection verticals (reference object_detection/configs/obb/_base_/
+    schedules/schedule_{1x,2x,3x}.py: step=[8,11]/[16,22]/[24,33],
+    warmup_iters 500/500/200, warmup_ratio 1e-3/1e-3/5e-3). Warmup is in
+    ITERATIONS with mmcv's ramp `1 - (1 - i/w)(1 - ratio)`; decay is per
+    epoch milestone."""
+    import jax.numpy as jnp
+    ms = jnp.asarray([float(m) * steps_per_epoch for m in milestones])
+
+    def sched(step):
+        s = jnp.asarray(step, jnp.float32)
+        ramp = 1.0 - (1.0 - s / max(warmup_iters, 1)) * (1.0 - warmup_ratio)
+        warm = jnp.where(s < warmup_iters, ramp, 1.0)
+        decay = gamma ** jnp.sum(s >= ms)
+        return base_lr * warm * decay
+
+    return sched
+
+
+def warmup_poly_schedule(base_lr: float, total_steps: int,
+                         power: float = 1.0, min_lr: float = 0.0,
+                         warmup_iters: int = 1500,
+                         warmup_ratio: float = 1e-6):
+    """mmcv poly policy + linear warmup — the segmentation schedule of
+    record (reference upernet_lemevit_512x512_80k_potsdam.py lr_config:
+    poly power 1.0 min_lr 0, warmup linear 1500 iters ratio 1e-6)."""
+    import jax.numpy as jnp
+
+    def sched(step):
+        s = jnp.asarray(step, jnp.float32)
+        ramp = 1.0 - (1.0 - s / max(warmup_iters, 1)) * (1.0 - warmup_ratio)
+        warm = jnp.where(s < warmup_iters, ramp, 1.0)
+        frac = jnp.clip((s - warmup_iters)
+                        / max(total_steps - warmup_iters, 1), 0.0, 1.0)
+        poly = (base_lr - min_lr) * (1.0 - frac) ** power + min_lr
+        return poly * warm
+
+    return sched
+
+
 class PlateauController:
     """Host-side ReduceLROnPlateau (the timm `--sched plateau` surface,
     /root/reference/main.py:514-537): feed the eval metric once per
