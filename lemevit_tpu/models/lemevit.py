@@ -211,7 +211,8 @@ class LeMeBlock(nn.Module):
         XLA autodiff. Returns None to fall back to the XLA composition
         (C blocks, unsupported shapes, or stage-1-scale D backward that
         exceeds the VMEM budget)."""
-        if self.attn_type not in ("S", "D", "C") or not self._fusable(True):
+        if self.attn_type not in ("S", "D", "D2", "C") \
+                or not self._fusable(True):
             return None
         import os
         from lemevit_tpu.attn import pallas_block, pallas_train
@@ -283,14 +284,17 @@ class LeMeBlock(nn.Module):
                     cpe=cpe, img_w=img_w)
             scale_x, scale_c = aref.dca_scales(x.shape[1], c.shape[1],
                                                x.shape[2])
+            if self.attn_type == "D2":
+                wqkv1, bqkv1, wqkv2, bqkv2 = self._d2_as_dca_weights(v, dt)
+            else:
+                wqkv1 = v["attn"]["qkv1"]["kernel"].astype(dt)
+                bqkv1 = v["attn"]["qkv1"]["bias"].astype(dt)
+                wqkv2 = v["attn"]["qkv2"]["kernel"].astype(dt)
+                bqkv2 = v["attn"]["qkv2"]["bias"].astype(dt)
             wq1_f, bq1_f = pallas_block._fold_ln(
-                v["norm1"]["scale"], v["norm1"]["bias"],
-                v["attn"]["qkv1"]["kernel"].astype(dt),
-                v["attn"]["qkv1"]["bias"].astype(dt))
+                v["norm1"]["scale"], v["norm1"]["bias"], wqkv1, bqkv1)
             wq2_f, bq2_f = pallas_block._fold_ln(
-                v["norm1"]["scale"], v["norm1"]["bias"],
-                v["attn"]["qkv2"]["kernel"].astype(dt),
-                v["attn"]["qkv2"]["bias"].astype(dt))
+                v["norm1"]["scale"], v["norm1"]["bias"], wqkv2, bqkv2)
             w1_f, b1_f = pallas_block._fold_ln(
                 v["norm2"]["scale"], v["norm2"]["bias"],
                 v["mlp"]["fc1"]["kernel"].astype(dt),
@@ -308,6 +312,28 @@ class LeMeBlock(nn.Module):
                 scale_x=scale_x, scale_c=scale_c, cpe=cpe, img_w=img_w)
         except (KeyError, TypeError, LookupError):
             return None
+
+    def _d2_as_dca_weights(self, v, dt):
+        """D2 -> DCA weight permutation: the v2 attention (ref
+        models/lemevit.py:326-423: q,v1 from x; k,v2 from c; shared q/k
+        both directions) maps onto the general DCA kernel with
+        q1=q, k1=q, v1=v1 and q2=k, k2=k, v2=v2 — so build effective
+        qkv kernels [Wq|Wq|Wv1] / [Wk|Wk|Wv2] OUTSIDE the kernel.
+        Autodiff chains the duplication (dWq = dQ-cols + dK-cols), which
+        is what lets the same custom-VJP train kernel serve D2."""
+        ch = v["attn"]["qv1"]["kernel"].shape[0]
+        wqv1 = v["attn"]["qv1"]["kernel"].astype(dt)
+        bqv1 = v["attn"]["qv1"]["bias"].astype(dt)
+        wkv2 = v["attn"]["kv2"]["kernel"].astype(dt)
+        bkv2 = v["attn"]["kv2"]["bias"].astype(dt)
+        wq, wv1 = wqv1[:, :ch], wqv1[:, ch:]
+        bq, bv1 = bqv1[:ch], bqv1[ch:]
+        wk, wv2 = wkv2[:, :ch], wkv2[:, ch:]
+        bk, bv2 = bkv2[:ch], bkv2[ch:]
+        return (jnp.concatenate([wq, wq, wv1], axis=1),
+                jnp.concatenate([bq, bq, bv1]),
+                jnp.concatenate([wk, wk, wv2], axis=1),
+                jnp.concatenate([bk, bk, bv2]))
 
     def _cpe_weights(self, v):
         """(9,C) taps + (C,) bias for the fused kernels, or None when
@@ -332,7 +358,8 @@ class LeMeBlock(nn.Module):
         """Whole-block fused D-type kernel (inference). With ``with_cpe``
         x must be PRE-CPE and the 3x3 position embedding runs in-kernel
         (PB_D_CPE=0 forces the external-dwconv path)."""
-        if self.attn_type != "D" or not self._fusable(deterministic):
+        if self.attn_type not in ("D", "D2") \
+                or not self._fusable(deterministic):
             return None
         import os
         from lemevit_tpu.attn import pallas_block
@@ -348,12 +375,16 @@ class LeMeBlock(nn.Module):
                 cpe = None
             scale_x, scale_c = aref.dca_scales(x.shape[1], c.shape[1],
                                                x.shape[2])
+            if self.attn_type == "D2":
+                wqkv1, bqkv1, wqkv2, bqkv2 = self._d2_as_dca_weights(v, dt)
+            else:
+                wqkv1 = v["attn"]["qkv1"]["kernel"].astype(dt)
+                bqkv1 = v["attn"]["qkv1"]["bias"].astype(dt)
+                wqkv2 = v["attn"]["qkv2"]["kernel"].astype(dt)
+                bqkv2 = v["attn"]["qkv2"]["bias"].astype(dt)
             params = (
                 v["norm1"]["scale"], v["norm1"]["bias"],
-                v["attn"]["qkv1"]["kernel"].astype(dt),
-                v["attn"]["qkv1"]["bias"].astype(dt),
-                v["attn"]["qkv2"]["kernel"].astype(dt),
-                v["attn"]["qkv2"]["bias"].astype(dt),
+                wqkv1, bqkv1, wqkv2, bqkv2,
                 v["attn"]["proj_x"]["kernel"].astype(dt),
                 v["attn"]["proj_x"]["bias"].astype(dt),
                 v["attn"]["proj_c"]["kernel"].astype(dt),

@@ -139,18 +139,15 @@ def obb_nms(boxes: jax.Array, scores: jax.Array,
     """Greedy NMS on rotated boxes (N,5). Tiny boxes (w or h < min_size) are
     dropped up front (reference nms_rotated_wrapper.py:33-39). Returns keep
     mask (N,)."""
+    from lemevit_tpu.ops.boxes import blocked_sup_matrix, greedy_keep
+
     n = boxes.shape[0]
     big = (boxes[:, 2] >= min_size) & (boxes[:, 3] >= min_size)
     order = jnp.argsort(-jnp.where(big, scores, -jnp.inf))
     b = boxes[order]
     valid = big[order]
-    iou = box_iou_rotated(b, b)
-
-    def body(i, keep):
-        sup = (iou[:, i] > iou_threshold) & keep & (jnp.arange(n) < i)
-        return keep.at[i].set(valid[i] & ~sup.any())
-
-    keep_sorted = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), bool))
+    sup = blocked_sup_matrix(box_iou_rotated, b, iou_threshold)
+    keep_sorted = greedy_keep(sup, valid)
     return jnp.zeros((n,), bool).at[order].set(keep_sorted)
 
 
@@ -167,16 +164,18 @@ def poly_iou(p1: jax.Array, p2: jax.Array, eps: float = 1e-6) -> jax.Array:
 def poly_nms(polys: jax.Array, scores: jax.Array,
              iou_threshold: float = 0.1) -> jax.Array:
     """Greedy NMS on flat (N,8) convex quads. Returns keep mask (N,)."""
+    from lemevit_tpu.ops.boxes import blocked_sup_matrix, greedy_keep
+
     n = polys.shape[0]
     order = jnp.argsort(-scores)
     p = polys[order]
-    iou = jax.vmap(lambda a: jax.vmap(lambda b: poly_iou(a, b))(p))(p)
 
-    def body(i, keep):
-        sup = (iou[:, i] > iou_threshold) & keep & (jnp.arange(n) < i)
-        return keep.at[i].set(~sup.any())
+    def pair_iou(pa, pb):
+        return jax.vmap(lambda a: jax.vmap(
+            lambda b: poly_iou(a, b))(pb))(pa)
 
-    keep_sorted = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), bool))
+    sup = blocked_sup_matrix(pair_iou, p, iou_threshold)
+    keep_sorted = greedy_keep(sup, jnp.ones((n,), bool))
     return jnp.zeros((n,), bool).at[order].set(keep_sorted)
 
 

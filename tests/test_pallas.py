@@ -177,6 +177,25 @@ def test_model_with_pallas_backend_matches_xla():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_model_v2_with_pallas_backend_matches_xla():
+    """Micro model with D2 stages (tiny_v2/small_v2 dispatch, ref
+    models/lemevit.py:326-423): the whole-block DCA kernel serves D2 via
+    the weight permutation — pallas vs xla must agree (fp32)."""
+    from lemevit_tpu.models.lemevit import LeMeViT
+    cfg = dict(depth=(1, 1, 1, 1, 1), embed_dim=(16, 16, 32, 32, 32),
+               head_dim=8, mlp_ratios=(2, 2, 2, 2, 2),
+               attn_type=("C", "D2", "D2", "S", "S"), queries_len=16,
+               num_classes=5)
+    m_x = LeMeViT(**cfg, attn_backend="xla")
+    m_p = LeMeViT(**cfg, attn_backend="pallas")
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    v = m_x.init(jax.random.PRNGKey(1), x)
+    out_x = m_x.apply(v, x)
+    out_p = m_p.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_fused_s_block_matches_composition():
     """Whole-block fused kernel vs the unfused module composition."""
     from lemevit_tpu.attn import pallas_block

@@ -290,7 +290,10 @@ def test_model_train_fused_matches_unfused():
     monkey = pytest.MonkeyPatch()
     monkey.setattr(pb, "_INTERPRET", True)
     try:
-        for attn_type in ("S", "D"):
+        for attn_type in ("S", "D", "D2"):
+            # D2 rides the DCA train kernel via the [Wq|Wq|Wv1]/[Wk|Wk|Wv2]
+            # weight permutation (_d2_as_dca_weights); grads for the shared
+            # q/k chain through the outside-kernel concat
             blk_x = LeMeBlock(dim=C, num_heads=H, attn_type=attn_type,
                               attn_backend="xla")
             blk_p = LeMeBlock(dim=C, num_heads=H, attn_type=attn_type,

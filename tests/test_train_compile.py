@@ -33,7 +33,7 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.mark.parametrize("name", ["lemevit_tiny", "lemevit_small",
-                                  "lemevit_base"])
+                                  "lemevit_base", "lemevit_tiny_v2"])
 def test_train_step_compiles_on_tpu(name):
     dev = _tpu_devices()[0]
     model = create_model(name, num_classes=1000, dtype=jnp.bfloat16)
