@@ -158,6 +158,46 @@ def _cpe_flat(xt, wc, bc, hh, ww):
     return xt + acc
 
 
+def _cpe_tap_grads_flat(xt, du, hh, ww):
+    """In-kernel tap/bias grads of the fused 3x3 CPE on the flat folded
+    tile: dW[ky*3+kx, c] = sum_i du[i, c] * x[i + (ky-1)ww + (kx-1), c]
+    (masked exactly like _cpe_flat's forward shifts), dbias = colsum(du).
+    Returns a (16, C) f32 block — rows 0-8 taps, row 9 bias, rows 10-15
+    zero (sublane-aligned accumulator). Replaces the XLA
+    conv-backward-filter pass (pallas_train._cpe_grads), which re-read
+    BOTH full activation streams from HBM in f32; here everything is
+    already VMEM-resident (ROADMAP lever #1: in-kernel CPE tap-grad
+    accumulation)."""
+    n, c = xt.shape
+    img_n = hh * ww
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    xcol = row_ids % ww
+    img_row = row_ids % img_n
+    zeros = jnp.zeros_like(xt)
+    dt = xt.dtype
+    f32 = jnp.float32
+
+    def rshift(t, s):
+        if s == 0:
+            return t
+        if s > 0:
+            return jnp.concatenate([t[s:], zeros[:s]], axis=0)
+        return jnp.concatenate([zeros[:(-s)], t[:n + s]], axis=0)
+
+    sx = [rshift(xt, -1) * (xcol > 0).astype(dt), xt,
+          rshift(xt, 1) * (xcol < ww - 1).astype(dt)]
+    du32 = du.astype(f32)
+    rows_out = []
+    for s, mask in ((-ww, img_row >= ww), (0, None),
+                    (ww, img_row < img_n - ww)):
+        for kx in range(3):
+            xs = sx[kx] if s == 0 else rshift(sx[kx], s) * mask.astype(dt)
+            rows_out.append(jnp.sum(xs.astype(f32) * du32, axis=0,
+                                    keepdims=True))
+    rows_out.append(jnp.sum(du32, axis=0, keepdims=True))
+    return jnp.concatenate(rows_out + [jnp.zeros((6, c), f32)], axis=0)
+
+
 def _pick_group(num_heads: int, head_dim: int) -> int:
     """Largest divisor g of num_heads with g*head_dim <= 128 (uniform head
     groups so one block mask serves every group). 1 disables grouping."""

@@ -66,7 +66,7 @@ from jax.experimental import pallas as pl
 
 from lemevit_tpu.attn.pallas_block import (
     HAS_PLTPU, _MAX_N_SBLOCK, _NEG_CLIP, _POS_CLIP, _bd_mask, _bd_tile,
-    _cpe_flat, _gelu, _ln, _pick_group, _ERF_TANH_P,
+    _cpe_flat, _cpe_tap_grads_flat, _gelu, _ln, _pick_group, _ERF_TANH_P,
 )
 from lemevit_tpu.attn import pallas_block as _pb
 
@@ -605,11 +605,11 @@ def _attn_dir_bwd_dump(doatt, q, k, v, rows, sq, sk, scale, num_heads,
 
 def _s_attn_bwd_kernel(x_ref, c_ref, dp_ref,
                        wqkv_ref, bqkv_ref, wp_ref,
-                       wcpe_ref, bcpe_ref,
+                       wcpe_ref, bcpe_ref, wcpef_ref,
                        maskx_ref, maskc_ref,
                        dt1x_ref, dt1c_ref,
                        dx_ref, dc_ref,
-                       dwqkv_ref, dbqkv_ref, dwp_ref,
+                       dwqkv_ref, dbqkv_ref, dwp_ref, dwcpe_ref,
                        dqkvx_ref, oattx_ref,
                        dqkvc_ref, oattc_ref, *,
                        scale, num_heads, head_dim, rows, n, m,
@@ -628,6 +628,7 @@ def _s_attn_bwd_kernel(x_ref, c_ref, dp_ref,
         dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
         dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
         dwp_ref[...] = jnp.zeros_like(dwp_ref)
+        dwcpe_ref[...] = jnp.zeros_like(dwcpe_ref)
 
     def branch(t, seq, mask_ref, s1, dt1_ref, dqkv_ref, oatt_ref):
         mask = mask_ref[:] if g > 1 else None
@@ -660,12 +661,23 @@ def _s_attn_bwd_kernel(x_ref, c_ref, dp_ref,
                                  preferred_element_type=jnp.float32)
         return dt1 + _ln_bwd(da, t)
 
-    xflat = x_ref[:]
+    xraw = x_ref[:]
     if use_cpe:
-        xflat = _cpe_flat(xflat, wcpe_ref[:], bcpe_ref[0],
+        xflat = _cpe_flat(xraw, wcpe_ref[:], bcpe_ref[0],
                           n // img_w, img_w)
+    else:
+        xflat = xraw
     dtx = branch(xflat, n, maskx_ref, _dp_cols(dp_ref, 0, rows, n),
                  dt1x_ref, dqkvx_ref, oattx_ref)
+    if use_cpe:
+        # ROADMAP lever #1: CPE tap grads accumulate in-kernel and the
+        # flipped-tap transpose applies here — no XLA conv pair, no f32
+        # re-reads of x / the pre-transpose grad
+        dwcpe_ref[...] += _cpe_tap_grads_flat(xraw, dtx,
+                                              n // img_w, img_w)
+        dtx = _cpe_flat(dtx, wcpef_ref[:],
+                        jnp.zeros((1, dtx.shape[1]), dtx.dtype),
+                        n // img_w, img_w)
     dx_ref[:] = dtx.astype(dtype)
     dtc = branch(c_ref[:], m, maskc_ref, _dp_cols(dp_ref, 2, rows, m),
                  dt1c_ref, dqkvc_ref, oattc_ref)
@@ -675,12 +687,12 @@ def _s_attn_bwd_kernel(x_ref, c_ref, dp_ref,
 def _dca_attn_bwd_kernel(x_ref, c_ref, dp_ref,
                          wqkv1_ref, bqkv1_ref, wqkv2_ref, bqkv2_ref,
                          wpx_ref, wpc_ref,
-                         wcpe_ref, bcpe_ref,
+                         wcpe_ref, bcpe_ref, wcpef_ref,
                          maskx_ref, maskc_ref,
                          dt1x_ref, dt1c_ref,
                          dx_ref, dc_ref,
                          dwqkv1_ref, dbqkv1_ref, dwqkv2_ref, dbqkv2_ref,
-                         dwpx_ref, dwpc_ref,
+                         dwpx_ref, dwpc_ref, dwcpe_ref,
                          dqkv1_ref, oattx_ref,
                          dqkv2_ref, oattc_ref, *,
                          scale_x, scale_c, num_heads, head_dim, rows,
@@ -701,13 +713,16 @@ def _dca_attn_bwd_kernel(x_ref, c_ref, dp_ref,
         dbqkv2_ref[...] = jnp.zeros_like(dbqkv2_ref)
         dwpx_ref[...] = jnp.zeros_like(dwpx_ref)
         dwpc_ref[...] = jnp.zeros_like(dwpc_ref)
+        dwcpe_ref[...] = jnp.zeros_like(dwcpe_ref)
     c_dim = x_ref.shape[-1]
     maskx = maskx_ref[:] if gx > 1 else None
     maskc = maskc_ref[:] if gc > 1 else None
-    xflat = x_ref[:]
+    xraw = x_ref[:]
     if use_cpe:
-        xflat = _cpe_flat(xflat, wcpe_ref[:], bcpe_ref[0],
+        xflat = _cpe_flat(xraw, wcpe_ref[:], bcpe_ref[0],
                           n // img_w, img_w)
+    else:
+        xflat = xraw
     cflat = c_ref[:]
     xa = _ln(xflat, None, None).astype(dtype)
     ca = _ln(cflat, None, None).astype(dtype)
@@ -758,7 +773,16 @@ def _dca_attn_bwd_kernel(x_ref, c_ref, dp_ref,
     da_c = jax.lax.dot_general(dqkv2, wqkv2_ref[:],
                                (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
-    dx_ref[:] = (dt1x + _ln_bwd(da_x, xflat)).astype(dtype)
+    dtx = dt1x + _ln_bwd(da_x, xflat)
+    if use_cpe:
+        # in-kernel CPE tap grads + flipped-tap transpose (see
+        # _s_attn_bwd_kernel)
+        dwcpe_ref[...] += _cpe_tap_grads_flat(xraw, dtx,
+                                              n // img_w, img_w)
+        dtx = _cpe_flat(dtx, wcpef_ref[:],
+                        jnp.zeros((1, dtx.shape[1]), dtx.dtype),
+                        n // img_w, img_w)
+    dx_ref[:] = dtx.astype(dtype)
     dc_ref[:] = (dt1c + _ln_bwd(da_c, cflat)).astype(dtype)
 
 
@@ -918,7 +942,8 @@ def _s_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco, scale,
 
     # B2: attention backward (in-kernel dWqkv/dbqkv/dWp accumulation;
     # dqkv/oatt streams live in VMEM scratch only)
-    weights = [wqkv, _row(bqkv), wp, wcpe, bcpe, maskx, maskc]
+    weights = [wqkv, _row(bqkv), wp, wcpe, bcpe, wcpe[::-1],
+               maskx, maskc]
     kernel = functools.partial(
         _s_attn_bwd_kernel, scale=float(scale), num_heads=num_heads,
         head_dim=d, rows=rows, n=n, m=m, use_cpe=use_cpe,
@@ -935,10 +960,13 @@ def _s_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco, scale,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((ch, ch), lambda bi: (0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((16, ch), lambda bi: (0, 0),
+                     memory_space=pltpu.VMEM),
     ]
     acc_shapes = [jax.ShapeDtypeStruct((ch, 3 * ch), f32),
                   jax.ShapeDtypeStruct((8, 3 * ch), f32),
-                  jax.ShapeDtypeStruct((ch, ch), f32)]
+                  jax.ShapeDtypeStruct((ch, ch), f32),
+                  jax.ShapeDtypeStruct((16, ch), f32)]
     sd = lambda r_, c_: jax.ShapeDtypeStruct((r_, c_), x.dtype)
     outs = pl.pallas_call(
         kernel,
@@ -953,7 +981,7 @@ def _s_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco, scale,
         interpret=_pb._INTERPRET,
         **_compiler_params(),
     )(x2, c2, dparr, *weights, dt1x, dt1c)
-    (dtu, dc2, dwqkv, dbqkv, dwp) = outs
+    (dtu, dc2, dwqkv, dbqkv, dwp, dwcpe) = outs
     dbqkv = dbqkv[0]
 
     colsum = lambda t: jnp.sum(t.astype(f32), axis=0)
@@ -965,12 +993,11 @@ def _s_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco, scale,
                dwp.astype(wp.dtype), dbp.astype(bp.dtype),
                dw1.astype(w1.dtype), db1.astype(b1.dtype),
                dw2.astype(w2.dtype), db2.astype(b2.dtype))
-    # dtu is the data grad PRE-CPE-transpose; the flipped-tap window
-    # product (the transpose of the fused 3x3 CPE) runs here in XLA
-    dx2 = _xla_cpe_t(dtu, cpe, b, n, ch, img_w) if use_cpe else dtu
-    dcpe = (_cpe_grads(x, dtu, b, n, ch, img_w, wcpe.dtype, bcpe.dtype)
+    # CPE transpose + tap grads are IN-KERNEL (dtu arrives post-transpose;
+    # dwcpe rows 0-8 = taps, row 9 = bias)
+    dcpe = ((dwcpe[:9].astype(wcpe.dtype), dwcpe[9].astype(bcpe.dtype))
             if use_cpe else None)
-    return (dx2.reshape(x.shape), dc2.reshape(c.shape), dparams, dcpe)
+    return (dtu.reshape(x.shape), dc2.reshape(c.shape), dparams, dcpe)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -1105,7 +1132,7 @@ def _dca_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco,
         t1x, t1c, dxo2, dco2, dparr, w1, b1, w2)
 
     weights = [wqkv1, _row(bqkv1), wqkv2, _row(bqkv2), wpx, wpc,
-               wcpe, bcpe, maskx, maskc]
+               wcpe, bcpe, wcpe[::-1], maskx, maskc]
     kernel = functools.partial(
         _dca_attn_bwd_kernel, scale_x=float(scale_x),
         scale_c=float(scale_c), num_heads=num_heads, head_dim=d,
@@ -1120,11 +1147,11 @@ def _dca_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco,
         (r_, c_), lambda bi: (0, 0), memory_space=pltpu.VMEM)
     acc_specs = [acc_spec(ch, 3 * ch), acc_spec(8, 3 * ch),
                  acc_spec(ch, 3 * ch), acc_spec(8, 3 * ch),
-                 acc_spec(ch, ch), acc_spec(ch, ch)]
+                 acc_spec(ch, ch), acc_spec(ch, ch), acc_spec(16, ch)]
     fsd = lambda r_, c_: jax.ShapeDtypeStruct((r_, c_), f32)
     acc_shapes = [fsd(ch, 3 * ch), fsd(8, 3 * ch),
                   fsd(ch, 3 * ch), fsd(8, 3 * ch),
-                  fsd(ch, ch), fsd(ch, ch)]
+                  fsd(ch, ch), fsd(ch, ch), fsd(16, ch)]
     sd = lambda r_, c_: jax.ShapeDtypeStruct((r_, c_), x.dtype)
     outs = pl.pallas_call(
         kernel,
@@ -1139,7 +1166,8 @@ def _dca_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco,
         interpret=_pb._INTERPRET,
         **_compiler_params(),
     )(x2, c2, dparr, *weights, dt1x, dt1c)
-    (dtu, dc2, dwqkv1, dbqkv1, dwqkv2, dbqkv2, dwpx, dwpc) = outs
+    (dtu, dc2, dwqkv1, dbqkv1, dwqkv2, dbqkv2, dwpx, dwpc,
+     dwcpe) = outs
 
     colsum = lambda t: jnp.sum(t.astype(f32), axis=0)
     dbpx = colsum(_xla_do(dt1x, dparr[0], n, x.dtype))
@@ -1154,10 +1182,9 @@ def _dca_train_bwd_call(x, c, params, cpe, dp, t1x, t1c, dxo, dco,
                dbpc.astype(bpc.dtype),
                dw1.astype(w1.dtype), db1.astype(b1.dtype),
                dw2.astype(w2.dtype), db2.astype(b2.dtype))
-    dx2 = _xla_cpe_t(dtu, cpe, b, n, ch, img_w) if use_cpe else dtu
-    dcpe = (_cpe_grads(x, dtu, b, n, ch, img_w, wcpe.dtype, bcpe.dtype)
+    dcpe = ((dwcpe[:9].astype(wcpe.dtype), dwcpe[9].astype(bcpe.dtype))
             if use_cpe else None)
-    return dx2.reshape(x.shape), dc2.reshape(c.shape), dparams, dcpe
+    return dtu.reshape(x.shape), dc2.reshape(c.shape), dparams, dcpe
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -1301,10 +1328,10 @@ def _c_train_fwd_kernel(x_ref, c_ref, dp_ref,
 
 def _c_attn_bwd_kernel(x_ref, c_ref, dp_ref,
                        wq_ref, bq_ref, wkv_ref, bkv_ref, wp_ref,
-                       wcpe_ref, bcpe_ref, maskc_ref,
+                       wcpe_ref, bcpe_ref, wcpef_ref, maskc_ref,
                        dt1c_ref,
                        dxt_ref, dc_ref, dq_ref, oatt_ref,
-                       dwkv_ref, dbkv_ref,
+                       dwkv_ref, dbkv_ref, dwcpe_ref,
                        dkv_ref, *,
                        scale, num_heads, head_dim, rows, n, m,
                        use_cpe, img_w, g):
@@ -1321,10 +1348,13 @@ def _c_attn_bwd_kernel(x_ref, c_ref, dp_ref,
     def _init():
         dwkv_ref[...] = jnp.zeros_like(dwkv_ref)
         dbkv_ref[...] = jnp.zeros_like(dbkv_ref)
-    xflat = x_ref[:]
+        dwcpe_ref[...] = jnp.zeros_like(dwcpe_ref)
+    xraw = x_ref[:]
     if use_cpe:
-        xflat = _cpe_flat(xflat, wcpe_ref[:], bcpe_ref[0],
+        xflat = _cpe_flat(xraw, wcpe_ref[:], bcpe_ref[0],
                           n // img_w, img_w)
+    else:
+        xflat = xraw
     xa = _ln(xflat, None, None).astype(dtype)
     kv = jax.lax.dot_general(xa, wkv_ref[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -1371,7 +1401,17 @@ def _c_attn_bwd_kernel(x_ref, c_ref, dp_ref,
     dxa = jax.lax.dot_general(dkv, wkv_ref[:],
                               (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    dxt_ref[:] = _ln_bwd(dxa, xflat).astype(dtype)
+    dxt = _ln_bwd(dxa, xflat)
+    if use_cpe:
+        # in-kernel CPE tap grads + flipped-tap transpose (see
+        # _s_attn_bwd_kernel); the pass-through residual grad is added
+        # by the caller outside the block
+        dwcpe_ref[...] += _cpe_tap_grads_flat(xraw, dxt,
+                                              n // img_w, img_w)
+        dxt = _cpe_flat(dxt, wcpef_ref[:],
+                        jnp.zeros((1, dxt.shape[1]), dxt.dtype),
+                        n // img_w, img_w)
+    dxt_ref[:] = dxt.astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "num_heads",
@@ -1451,7 +1491,8 @@ def _c_train_bwd_call(x, c, params, cpe, dp, t1c, dco, scale, num_heads,
             + inv * (dmm - mdm - th * mdt)).astype(x.dtype)
 
     # attention backward kernel
-    weights = [wq, _row(bq), wkv, _row(bkv), wp, wcpe, bcpe, maskc]
+    weights = [wq, _row(bq), wkv, _row(bkv), wp, wcpe, bcpe,
+               wcpe[::-1], maskc]
     kernel = functools.partial(
         _c_attn_bwd_kernel, scale=float(scale), num_heads=num_heads,
         head_dim=d, rows=rows, n=n, m=m, use_cpe=use_cpe,
@@ -1463,9 +1504,12 @@ def _c_train_bwd_call(x, c, params, cpe, dp, t1c, dco, scale, num_heads,
     acc_specs = [pl.BlockSpec((ch, 2 * ch), lambda bi: (0, 0),
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((8, 2 * ch), lambda bi: (0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((16, ch), lambda bi: (0, 0),
                               memory_space=pltpu.VMEM)]
     acc_shapes = [jax.ShapeDtypeStruct((ch, 2 * ch), f32),
-                  jax.ShapeDtypeStruct((8, 2 * ch), f32)]
+                  jax.ShapeDtypeStruct((8, 2 * ch), f32),
+                  jax.ShapeDtypeStruct((16, ch), f32)]
     sd = lambda r_, c_: jax.ShapeDtypeStruct((r_, c_), x.dtype)
     outs = pl.pallas_call(
         kernel,
@@ -1478,7 +1522,7 @@ def _c_train_bwd_call(x, c, params, cpe, dp, t1c, dco, scale, num_heads,
         interpret=_pb._INTERPRET,
         **_compiler_params(),
     )(x2, c2, dparr, *weights, dt1c)
-    (dxt, dc2, dq, oatt, dwkv, dbkv) = outs
+    (dxt, dc2, dq, oatt, dwkv, dbkv, dwcpe) = outs
     dbkv = dbkv[0]
 
     ein = lambda a_, b_: jax.lax.dot_general(
@@ -1499,10 +1543,9 @@ def _c_train_bwd_call(x, c, params, cpe, dp, t1c, dco, scale, num_heads,
                dwp.astype(wp.dtype), dbp.astype(bp.dtype),
                dw1.astype(w1.dtype), db1.astype(b1.dtype),
                dw2.astype(w2.dtype), db2.astype(b2.dtype))
-    dx2 = _xla_cpe_t(dxt, cpe, b, n, ch, img_w) if use_cpe else dxt
-    dcpe = (_cpe_grads(x, dxt, b, n, ch, img_w, wcpe.dtype, bcpe.dtype)
+    dcpe = ((dwcpe[:9].astype(wcpe.dtype), dwcpe[9].astype(bcpe.dtype))
             if use_cpe else None)
-    return (dx2.reshape(x.shape), dc2.reshape(c.shape), dparams, dcpe)
+    return (dxt.reshape(x.shape), dc2.reshape(c.shape), dparams, dcpe)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))

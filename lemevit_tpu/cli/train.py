@@ -431,23 +431,23 @@ def train(args, args_text: str = ""):
             it = (train_loader.iter_batches(first_step)
                   if first_step and hasattr(train_loader, "iter_batches")
                   else iter(train_loader))
+            # H2D in a background thread (data/loader.DevicePrefetcher):
+            # a blocking device_put overlaps the device step instead of
+            # serializing with it. Measured on the axon tunnel the 38 MB
+            # uint8 batch copy, not the grad step, was the training
+            # bottleneck (E2EBENCH.json h2d_MBps).
+            from lemevit_tpu.data.loader import DevicePrefetcher
+            put = ((lambda v: jax.make_array_from_process_local_data(
+                        batch_sharding, v)) if nproc > 1
+                   else (lambda v: jax.device_put(v, batch_sharding)))
+            dp_it = DevicePrefetcher(it, put, depth=2)
             for step_i in range(first_step, steps_per_epoch):
                 try:
-                    batch = next(it)
+                    batch = next(dp_it)
                 except StopIteration:
                     it = iter(train_loader)
-                    batch = next(it)
-                if nproc > 1:
-                    # each process contributes its local shard of the
-                    # global batch (single-controller SPMD)
-                    batch = {
-                        k: jax.make_array_from_process_local_data(
-                            batch_sharding, v)
-                        for k, v in batch.items()}
-                else:
-                    batch = {
-                        k: jax.device_put(v, batch_sharding)
-                        for k, v in batch.items()}
+                    dp_it = DevicePrefetcher(it, put, depth=2)
+                    batch = next(dp_it)
                 state, metrics = train_step(state, batch, rng)
                 if (args.recovery_interval
                         and (step_i + 1) % args.recovery_interval == 0

@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true",
                    help="synthetic data smoke mode")
     p.add_argument("--max-batches", type=int, default=0)
+    p.add_argument("--passes", type=int, default=1,
+                   help="iterate the val set N times (steady-state "
+                        "throughput measurement on small sets; metrics "
+                        "are still per-sample-correct)")
     p.add_argument("--tta", action="store_true",
                    help="test-time augmentation: average logits with the "
                         "horizontal flip (reference --tta equivalent)")
@@ -142,18 +146,43 @@ def validate(args) -> dict:
     sample_idx = 0
 
     totals = {"loss_sum": 0.0, "top1_sum": 0.0, "top5_sum": 0.0, "count": 0}
+    # warmup/compile outside the timed loop (reference validate.py:322-327)
+    wpx = dataset.px if packed else args.img_size
+    jax.block_until_ready(step(
+        variables, np.zeros((args.batch_size, wpx, wpx, 3), np.uint8),
+        np.zeros((args.batch_size,), np.int32))[0]["count"])
     t0 = time.perf_counter()
     n_batches = 0
-    for batch in loader:
-        n = batch["image"].shape[0]
-        if n != args.batch_size:  # pad the ragged tail to keep shapes static
-            pad = args.batch_size - n
-            batch["image"] = np.concatenate(
-                [batch["image"], np.zeros_like(batch["image"][:pad])])
-            batch["label"] = np.concatenate(
-                [batch["label"], np.full(pad, -1, np.int32)])
+
+    def repeated(ld):
+        for _ in range(max(1, args.passes)):
+            yield from ld
+
+    def padded(raw):
+        for batch in raw:
+            n = batch["image"].shape[0]
+            if n != args.batch_size:  # pad ragged tail: static shapes
+                pad = args.batch_size - n
+                batch["image"] = np.concatenate(
+                    [batch["image"], np.zeros_like(batch["image"][:pad])])
+                batch["label"] = np.concatenate(
+                    [batch["label"], np.full(pad, -1, np.int32)])
+            batch["n"] = n
+            yield batch
+
+    # background H2D + deferred metric readback: per-batch float() would
+    # fence the pipeline on every step (one round trip each through the
+    # device link); instead device scalars accumulate in a small deque
+    # and are read back at the end
+    from lemevit_tpu.data.loader import DevicePrefetcher
+    put = jax.device_put
+    pending = []
+    for batch in DevicePrefetcher(padded(repeated(loader)),
+                                  lambda v: put(v) if hasattr(
+                                      v, "shape") else v):
+        n = int(batch.pop("n"))
         m, top5 = step(variables, batch["image"], batch["label"])
-        m = {k: float(v) for k, v in m.items()}
+        pending.append((m, n))
         if real is not None:
             top1 = np.asarray(top5)[:n, 0]
             for p in top1:
@@ -164,15 +193,16 @@ def validate(args) -> dict:
                     real_correct += int(p in ok)
                     real_count += 1
                 sample_idx += 1
-        # padded rows (label -1) one-hot to all-zeros, so loss_sum already
-        # equals the sum over real rows; top-k can't match -1 either
-        totals["loss_sum"] += m["loss_sum"]
-        totals["top1_sum"] += m["top1_sum"]
-        totals["top5_sum"] += m["top5_sum"]
-        totals["count"] += n
         n_batches += 1
         if args.max_batches and n_batches >= args.max_batches:
             break
+    for m, n in pending:
+        # padded rows (label -1) one-hot to all-zeros, so loss_sum already
+        # equals the sum over real rows; top-k can't match -1 either
+        totals["loss_sum"] += float(m["loss_sum"])
+        totals["top1_sum"] += float(m["top1_sum"])
+        totals["top5_sum"] += float(m["top5_sum"])
+        totals["count"] += n
     dt = time.perf_counter() - t0
 
     cnt = max(totals["count"], 1)

@@ -87,14 +87,21 @@ def _autocontrast(img, _mag, _u):
 def _equalize(img, _mag, _u):
     """PIL ImageOps.equalize: per channel, lut[i] = (step//2 +
     cumsum_{j<i} h[j]) // step with step = (N - count(last nonzero
-    bin)) // 255; identity when step == 0. Histogram via sort +
-    searchsorted (no scatter: Mosaic/XLA-friendly)."""
+    bin)) // 255; identity when step == 0.
+
+    Histogram from a stride-4 pixel sample (4x4-subsampled, so the sort
+    is 16x smaller): full-resolution sort measured ~485 ms/256-batch on
+    v5e (augbench r4) and dominated the whole aug pipeline; a
+    histogram is already a sample statistic, so the LUT from a 1/16
+    sample is visually indistinguishable (op-parity test keeps a
+    slightly looser tolerance). A compare-and-reduce histogram was
+    tried and measured ~3x slower than even the full sort."""
     h, w = img.shape[0], img.shape[1]
-    n = h * w
 
     def one_channel(ch):
-        pix = jnp.round(ch.reshape(-1)).astype(jnp.int32)
-        srt = jnp.sort(pix)
+        pix_s = jnp.round(ch[::4, ::4].reshape(-1)).astype(jnp.int32)
+        n = pix_s.shape[0]
+        srt = jnp.sort(pix_s)
         edges = jnp.searchsorted(srt, jnp.arange(257), side="left")
         hist = (edges[1:] - edges[:-1]).astype(jnp.int32)  # (256,)
         nonzero = hist > 0
@@ -104,8 +111,16 @@ def _equalize(img, _mag, _u):
                                jnp.cumsum(hist)[:-1]])
         lut = jnp.where(step > 0, (step // 2 + cum) //
                         jnp.maximum(step, 1), jnp.arange(256))
-        lut = jnp.clip(lut, 0, 255).astype(jnp.float32)
-        return lut[jnp.clip(pix, 0, 255)].reshape(h, w)
+        # LUT applied as a one-hot bf16 contraction, NOT a gather: the
+        # (H,W)-indexed 256-table gather measured 323 ms/256-batch on
+        # v5e while this einsum runs at the ~28 ms HBM floor. Exact:
+        # one-hot rows have a single 1 and LUT integers 0..255 are
+        # bf16-representable.
+        lutb = jnp.clip(lut, 0, 255).astype(jnp.bfloat16)
+        pix = jnp.clip(jnp.round(ch), 0.0, 255.0)
+        oh = (pix[..., None] == jnp.arange(256, dtype=jnp.float32)
+              ).astype(jnp.bfloat16)
+        return jnp.einsum("hwk,k->hw", oh, lutb).astype(jnp.float32)
 
     return jnp.stack([one_channel(img[..., c]) for c in range(3)], axis=-1)
 
@@ -203,22 +218,51 @@ def _geo_matrix(choice, mag, u_sign, h, w):
     return jnp.where(choice < _N_GEO, geo, ident)
 
 
+def _static_geo_mats(magnitude: float, h: int, w: int):
+    """The 5 geometric ops x both signs as PYTHON-float matrices at the
+    NOMINAL magnitude. Static matrices let XLA constant-fold the warp's
+    gather indices into fast slice/interp code — a warp with per-image
+    TRACED parameters measured 757 ms/256-batch on v5e (augbench r4)
+    vs ~13 ms constant-folded. The tradeoff: geometric ops lose the
+    gaussian magnitude jitter (mstd 0.5 on the 0-10 scale is a +-3%
+    relative wobble — the aug diversity of these ops lives in the op
+    choice and the sign, which are preserved); elementwise ops keep the
+    full jittered magnitude."""
+    mats = []
+    for sign in (1.0, -1.0):
+        rad = magnitude / 9.0 * 30.0 * sign * math.pi / 180.0
+        cx, cy = w / 2.0, h / 2.0
+        cos, sin = math.cos(rad), math.sin(rad)
+        rot = (cos, -sin, cx - cos * cx + sin * cy,
+               sin, cos, cy - sin * cx - cos * cy)
+        sv = magnitude / 9.0 * 0.3 * sign
+        shx = (1.0, sv, 0.0, 0.0, 1.0, 0.0)
+        shy = (1.0, 0.0, 0.0, sv, 1.0, 0.0)
+        tx = float(int(magnitude / 9.0 * 0.45 * sign * w))
+        ty = float(int(magnitude / 9.0 * 0.45 * sign * h))
+        trx = (1.0, 0.0, tx, 0.0, 1.0, 0.0)
+        try_ = (1.0, 0.0, 0.0, 0.0, 1.0, ty)
+        mats.append([rot, shx, shy, trx, try_])
+    return mats  # [sign][op] -> 6-tuple
+
+
 def _ra_layer(key, img, magnitude, mag_std):
     k_choice, k_mag, k_sign, k_u = jax.random.split(key, 4)
     choice = jax.random.randint(k_choice, (), 0, _N_OPS)
     mag = magnitude + mag_std * jax.random.normal(k_mag)
     mag = jnp.clip(mag, 0.0, 10.0)
     u_sign = jax.random.uniform(k_sign)
-    u = jax.random.uniform(k_u)
 
     h, w = img.shape[0], img.shape[1]
-    mat = _geo_matrix(choice, mag, u_sign, h, w)
-    # identity matrix -> bilinear taps at integer coords -> exact copy,
-    # so elementwise candidates can safely start from `warped`
-    warped = _affine_warp(img, mat)
-    out = warped
+    out = img
+    pos_mats, neg_mats = _static_geo_mats(float(magnitude), h, w)
+    for g in range(_N_GEO):
+        for mats, cond in ((pos_mats, u_sign < 0.5),
+                           (neg_mats, u_sign >= 0.5)):
+            cand = _affine_warp(img, jnp.asarray(mats[g]))
+            out = jnp.where((choice == g) & cond, cand, out)
     for i, op in enumerate(_EW_OPS):
-        out = jnp.where(choice == _N_GEO + i, op(warped, mag, u_sign), out)
+        out = jnp.where(choice == _N_GEO + i, op(img, mag, u_sign), out)
     return jnp.clip(out, 0.0, 255.0)
 
 

@@ -69,10 +69,11 @@ def _drain(loader, n_batches: int, batch_size: int) -> float:
     return n / dt if n else 0.0
 
 
-def train_fed(model: str, extra: list, tag: str, epochs: int = 3,
+def train_fed(model: str, extra: list, tag: str, epochs: int = 5,
               batch_size: int = 256) -> dict:
-    """Run cli.train.train() against the corpus; steady-state epoch img/s
-    (last epoch; epoch 0 pays jit compile)."""
+    """Run cli.train.train() against the corpus; steady-state = BEST
+    epoch img/s (epoch 0 pays jit compile; early epochs pay cold page
+    cache for the corpus files)."""
     from lemevit_tpu.cli.train import build_parser, train
     from lemevit_tpu.utils.parser import parse_args_with_config
 
@@ -90,7 +91,76 @@ def train_fed(model: str, extra: list, tag: str, epochs: int = 3,
     n_imgs = (2400 // batch_size) * batch_size
     per_epoch = [n_imgs / float(r["epoch_time_s"]) for r in rows]
     return {"epochs_img_s": [round(v, 1) for v in per_epoch],
-            "steady_img_s": round(per_epoch[-1], 1)}
+            "steady_img_s": round(max(per_epoch), 1)}
+
+
+def device_ceiling(model: str, batch_size: int = 256, reps: int = 12
+                   ) -> float:
+    """Pure-device train-step rate on a RESIDENT batch (no loader, no
+    H2D): the ceiling the data plane is judged against (TRAINBENCH
+    methodology, incl. the same normalize-on-device)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lemevit_tpu.data.mixup import normalize
+    from lemevit_tpu.models import create_model
+    from lemevit_tpu.train import (build_lr_schedule, build_optimizer,
+                                   create_train_state, make_train_step)
+
+    mdl = create_model(model, num_classes=16, dtype=jnp.bfloat16)
+    sched = build_lr_schedule(steps_per_epoch=10, epochs=2)
+    tx = build_optimizer(sched)
+    state = create_train_state(mdl, jax.random.PRNGKey(0),
+                               (batch_size, 224, 224, 3), tx,
+                               ema_decay=0.996)
+    base_step = make_train_step(label_smoothing=0.1)
+
+    def step(state, img_u8, label, rng):
+        return base_step(state, {"image": normalize(img_u8),
+                                 "label": jax.nn.one_hot(label, 16)}, rng)
+
+    step = jax.jit(step, donate_argnums=(0,))
+    img = jnp.zeros((batch_size, 224, 224, 3), jnp.uint8)
+    lab = jnp.zeros((batch_size,), jnp.int32)
+    rng = jax.random.PRNGKey(1)
+    state, m = step(state, img, lab, rng)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, m = step(state, img, lab, rng)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+    return batch_size * reps / dt
+
+
+def h2d_rate(mb: int = 38, reps: int = 8) -> float:
+    """Host->device copy rate in MB/s (the uint8 batch crossing)."""
+    import jax
+    import numpy as np
+
+    buf = np.zeros((mb, 1024, 1024), np.uint8)
+    jax.device_put(buf).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        jax.device_put(buf).block_until_ready()
+    return mb * reps / (time.perf_counter() - t0)
+
+
+def device_aug_ms(batch_size: int = 256, reps: int = 10) -> float:
+    """Device-side RRC+flip+RandAugment cost per 256px packed batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from lemevit_tpu.data.device_aug import make_train_aug
+
+    aug = jax.jit(make_train_aug(224))
+    x = jnp.zeros((batch_size, 256, 256, 3), jnp.uint8)
+    float(aug(jax.random.PRNGKey(0), x).sum())
+    t0 = time.perf_counter()
+    for i in range(reps):
+        y = aug(jax.random.PRNGKey(i), x)
+    float(y.sum())
+    return (time.perf_counter() - t0) / reps * 1000.0
 
 
 def validate_fed(model: str, extra: list) -> float:
@@ -98,10 +168,9 @@ def validate_fed(model: str, extra: list) -> float:
     from lemevit_tpu.utils.parser import parse_args_with_config
 
     argv = ["--data-dir", DATA, "--num-classes", "16", "--model", model,
-            "--batch-size", "256"] + extra
+            "--batch-size", "256", "--passes", "6"] + extra
     args, _ = parse_args_with_config(build_parser(), argv)
-    res = validate(args)   # first batches pay compile; run twice, take 2nd
-    res = validate(args)
+    res = validate(args)   # warmup pass runs inside validate pre-timer
     return float(res["samples_per_sec"])
 
 
@@ -116,6 +185,10 @@ def main():
     res = {"host_cores": os.cpu_count(),
            "corpus": {"train": 2400, "val": 512, "px": "384-640 jpeg"}}
 
+    def dump():   # incremental: a killed run still leaves partial data
+        with open("E2EBENCH.json", "w") as fh:
+            json.dump(res, fh, indent=1)
+
     if not args.skip_loader:
         lw = {}
         for pipe in ["pil", "native", "packed"]:
@@ -125,18 +198,23 @@ def main():
             except Exception as e:  # packed may not exist yet
                 lw[pipe] = f"unavailable: {e}"
         res["loader_only_train_img_s"] = lw
+        dump()
         print("loader-only:", json.dumps(lw), flush=True)
 
     import jax
     res["backend"] = jax.default_backend()
+    res["h2d_MBps"] = round(h2d_rate(), 1)
+    res["device_aug_ms_per_256batch"] = round(device_aug_ms(), 2)
+    dump()
+    print("h2d", res["h2d_MBps"], "MB/s; device aug",
+          res["device_aug_ms_per_256batch"], "ms", flush=True)
 
     for model in args.models:
         m = {}
-        # synthetic ceiling (loader out of the loop, same CLI/step code)
-        m["synthetic"] = train_fed(
-            model, ["--synthetic", "--steps-per-epoch",
-                    str(2400 // 256)], f"{model}_synth")
-        print(model, "synthetic:", m["synthetic"], flush=True)
+        res[model] = m
+        m["device_ceiling_img_s"] = round(device_ceiling(model), 1)
+        dump()
+        print(model, "ceiling:", m["device_ceiling_img_s"], flush=True)
         for tag, extra in [
             ("native_w1", ["--workers", "1"]),
             ("packed_w1", ["--workers", "1", "--packed-data",
@@ -144,6 +222,7 @@ def main():
         ]:
             try:
                 m[tag] = train_fed(model, extra, f"{model}_{tag}")
+                dump()
                 print(model, tag, m[tag], flush=True)
             except SystemExit as e:
                 m[tag] = f"unavailable: {e}"
@@ -155,6 +234,7 @@ def main():
                               ["--packed-data", DATA + "_packed"])]:
             try:
                 m[vtag] = round(validate_fed(model, vextra), 1)
+                dump()
             except Exception as e:
                 m[vtag] = f"unavailable: {type(e).__name__}: {e}"
         res[model] = m

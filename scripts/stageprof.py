@@ -1,4 +1,4 @@
-"""In-model per-stage cost of lemevit_base @ bs256 via truncated depths.
+"""In-model per-stage cost of a LeMeViT variant @ bs256 via truncated depths.
 
 Times jitted inference forwards with depth cut after each stage; the
 difference between consecutive cuts isolates that stage's block cost as
@@ -20,11 +20,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from lemevit_tpu.models.lemevit import LeMeViT  # noqa: E402
 
-BASE = dict(embed_dim=(96, 96, 192, 384, 512), head_dim=32,
-            mlp_ratios=(4, 4, 4, 4, 4), attn_type=("C", "D", "D", "S", "S"),
-            queries_len=16, num_classes=1000, dtype=jnp.bfloat16,
-            attn_backend="auto")
-FULL = (2, 4, 4, 18, 4)
+from lemevit_tpu.models.registry import _VARIANT_CFGS  # noqa: E402
 
 
 def timeit(f, *a, reps=30):
@@ -40,12 +36,21 @@ def timeit(f, *a, reps=30):
 
 
 def main():
-    x = jax.random.normal(jax.random.PRNGKey(0), (256, 224, 224, 3),
-                          jnp.float32)
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="lemevit_base")
+    ap.add_argument("--batch-size", type=int, default=256)
+    args = ap.parse_args()
+    cfg = dict(_VARIANT_CFGS[args.model])
+    full = cfg.pop("depth")
+    cfg.update(num_classes=1000, dtype=jnp.bfloat16, attn_backend="auto")
+    x = jax.random.normal(jax.random.PRNGKey(0),
+                          (args.batch_size, 224, 224, 3), jnp.float32)
     prev = 0.0
-    for cut in range(6):
-        depth = tuple(FULL[i] if i < cut else 0 for i in range(5))
-        m = LeMeViT(depth=depth, **BASE)
+    for cut in range(len(full) + 1):
+        depth = tuple(full[i] if i < cut else 0
+                      for i in range(len(full)))
+        m = LeMeViT(depth=depth, **cfg)
         v = jax.jit(m.init)(jax.random.PRNGKey(1), x[:1])
         f = jax.jit(lambda vv, xx, mm=m: mm.apply(vv, xx))
         dt = timeit(f, v, x) * 1e3
