@@ -47,12 +47,18 @@ def bench_variant(name: str, on_tpu: bool) -> float:
     float(forward(variables, x).sum())
     float(forward(variables, x).sum())
 
+    # median of repeats: single-window timing had ~1.5% run-to-run spread,
+    # enough to straddle the 2x gate (BENCH_r04 1.985x vs judge rerun
+    # 2.015x on identical code) — VERDICT r4 item 6
     n_iter = 30 if on_tpu else 3
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = forward(variables, x)
-    float(out.sum())
-    dt = time.perf_counter() - t0
+    reps = []
+    for _ in range(3 if on_tpu else 1):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = forward(variables, x)
+        float(out.sum())
+        reps.append(time.perf_counter() - t0)
+    dt = sorted(reps)[len(reps) // 2]
     return batch * n_iter / dt
 
 

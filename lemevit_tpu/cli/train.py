@@ -99,6 +99,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reprob", type=float, default=0.25)
     p.add_argument("--aa", default="rand-m9-mstd0.5-inc1")
     p.add_argument("--hflip", type=float, default=0.5)
+    p.add_argument("--scale", type=float, nargs=2, default=[0.08, 1.0],
+                   help="RandomResizedCrop scale range (timm --scale)")
     # AugMix / JSD recipe (reference main.py:369-393,451-471):
     # --aug-splits 3 --jsd-loss --aa augmix-m3-w3
     p.add_argument("--aug-splits", type=int, default=0,
@@ -214,7 +216,8 @@ def train(args, args_text: str = ""):
         val_ds = PackedDataset(
             os.path.join(args.packed_data, args.val_split))
         device_aug_fn = make_train_aug(
-            args.img_size, hflip=args.hflip, auto_augment=args.aa)
+            args.img_size, hflip=args.hflip, auto_augment=args.aa,
+            scale=tuple(args.scale))
         logger.info("packed data plane: %d/%d samples @ %dpx, device aug",
                     len(train_ds), len(val_ds), train_ds.px)
     else:
@@ -235,10 +238,12 @@ def train(args, args_text: str = ""):
             from lemevit_tpu.data.transforms import \
                 build_native_train_transform
             train_tf = build_native_train_transform(
-                args.img_size, hflip=args.hflip, auto_augment=args.aa)
+                args.img_size, hflip=args.hflip, auto_augment=args.aa,
+                scale=tuple(args.scale))
         else:
             train_tf = build_train_transform(
-                args.img_size, hflip=args.hflip, auto_augment=args.aa)
+                args.img_size, hflip=args.hflip, auto_augment=args.aa,
+                scale=tuple(args.scale))
         if args.native_decode:
             from lemevit_tpu.data.transforms import \
                 build_native_eval_transform
@@ -463,6 +468,7 @@ def train(args, args_text: str = ""):
                         "epoch %d step %d/%d loss %.4f gnorm %.2f lr %.2e",
                         epoch, step_i, steps_per_epoch, m["loss"],
                         m["grad_norm"], m["lr"])
+            dp_it.close()  # don't leave a blocked thread pinning device batches
             epoch_time = time.perf_counter() - t_ep
 
             eval_stats = {}
@@ -512,13 +518,21 @@ def train(args, args_text: str = ""):
                             max_history=args.checkpoint_hist)
             best_top1 = max(best_top1, metric)
 
+            # Fixed field set regardless of eval cadence (reference
+            # contract: update_summary, /root/reference/main.py:619-629).
+            # DictWriter fieldnames from the first row's keys dropped the
+            # eval columns whenever epoch 0 had no eval (--eval-interval>1),
+            # leaving later eval rows headerless and DictReader-invisible.
             row = {"epoch": epoch,
                    "train_loss": tracker.summary().get("loss", float("nan")),
                    "epoch_time_s": round(epoch_time, 1), **{
                        k: round(v, 4) for k, v in eval_stats.items()}}
+            fields = ["epoch", "train_loss", "epoch_time_s",
+                      "top1", "top5", "ema_top1", "ema_top5"]
             write_header = not os.path.exists(summary_path)
             with open(summary_path, "a", newline="") as f:
-                w = csv.DictWriter(f, fieldnames=list(row))
+                w = csv.DictWriter(f, fieldnames=fields, restval="",
+                                   extrasaction="ignore")
                 if write_header:
                     w.writeheader()
                 w.writerow(row)

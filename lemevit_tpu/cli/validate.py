@@ -113,6 +113,17 @@ def validate(args) -> dict:
     def step(variables, images_u8, labels):
         if packed:
             from lemevit_tpu.data.device_aug import center_crop
+            # honour --crop-pct on the packed px square: resize to
+            # img_size/crop_pct (the eval-transform contract) before the
+            # center crop, instead of silently cropping at px/img_size
+            target = int(args.img_size / args.crop_pct)  # floor, like
+            # transforms.center_crop_resize scale_size
+            if target != images_u8.shape[1]:
+                images_u8 = jax.image.resize(
+                    images_u8.astype(jnp.float32),
+                    (images_u8.shape[0], target, target, 3),
+                    method="bicubic")
+                images_u8 = jnp.clip(jnp.round(images_u8), 0, 255)
             images_u8 = center_crop(images_u8, args.img_size)
         images = normalize(images_u8)
         logits = model.apply(variables, images, train=False)
@@ -177,9 +188,10 @@ def validate(args) -> dict:
     from lemevit_tpu.data.loader import DevicePrefetcher
     put = jax.device_put
     pending = []
-    for batch in DevicePrefetcher(padded(repeated(loader)),
-                                  lambda v: put(v) if hasattr(
-                                      v, "shape") else v):
+    dp_it = DevicePrefetcher(padded(repeated(loader)),
+                             lambda v: put(v) if hasattr(
+                                 v, "shape") else v)
+    for batch in dp_it:
         n = int(batch.pop("n"))
         m, top5 = step(variables, batch["image"], batch["label"])
         pending.append((m, n))
@@ -196,6 +208,7 @@ def validate(args) -> dict:
         n_batches += 1
         if args.max_batches and n_batches >= args.max_batches:
             break
+    dp_it.close()
     for m, n in pending:
         # padded rows (label -1) one-hot to all-zeros, so loss_sum already
         # equals the sum over real rows; top-k can't match -1 either

@@ -218,52 +218,161 @@ def _geo_matrix(choice, mag, u_sign, h, w):
     return jnp.where(choice < _N_GEO, geo, ident)
 
 
-def _static_geo_mats(magnitude: float, h: int, w: int):
-    """The 5 geometric ops x both signs as PYTHON-float matrices at the
-    NOMINAL magnitude. Static matrices let XLA constant-fold the warp's
-    gather indices into fast slice/interp code — a warp with per-image
-    TRACED parameters measured 757 ms/256-batch on v5e (augbench r4)
-    vs ~13 ms constant-folded. The tradeoff: geometric ops lose the
-    gaussian magnitude jitter (mstd 0.5 on the 0-10 scale is a +-3%
-    relative wobble — the aug diversity of these ops lives in the op
-    choice and the sign, which are preserved); elementwise ops keep the
-    full jittered magnitude."""
-    mats = []
-    for sign in (1.0, -1.0):
+def _static_geo_mat(op: int, sign: float, magnitude: float,
+                    h: int, w: int):
+    """One geometric op as a PYTHON-float matrix at a STATIC magnitude.
+    Static matrices let XLA constant-fold the warp's gather indices into
+    fast slice/interp code — a warp with per-image TRACED parameters
+    measured 757 ms/256-batch on v5e (augbench r4) vs ~13 ms
+    constant-folded."""
+    if op == 0:
         rad = magnitude / 9.0 * 30.0 * sign * math.pi / 180.0
         cx, cy = w / 2.0, h / 2.0
         cos, sin = math.cos(rad), math.sin(rad)
-        rot = (cos, -sin, cx - cos * cx + sin * cy,
-               sin, cos, cy - sin * cx - cos * cy)
-        sv = magnitude / 9.0 * 0.3 * sign
-        shx = (1.0, sv, 0.0, 0.0, 1.0, 0.0)
-        shy = (1.0, 0.0, 0.0, sv, 1.0, 0.0)
-        tx = float(int(magnitude / 9.0 * 0.45 * sign * w))
-        ty = float(int(magnitude / 9.0 * 0.45 * sign * h))
-        trx = (1.0, 0.0, tx, 0.0, 1.0, 0.0)
-        try_ = (1.0, 0.0, 0.0, 0.0, 1.0, ty)
-        mats.append([rot, shx, shy, trx, try_])
-    return mats  # [sign][op] -> 6-tuple
+        return (cos, -sin, cx - cos * cx + sin * cy,
+                sin, cos, cy - sin * cx - cos * cy)
+    sv = magnitude / 9.0 * 0.3 * sign
+    if op == 1:
+        return (1.0, sv, 0.0, 0.0, 1.0, 0.0)
+    if op == 2:
+        return (1.0, 0.0, 0.0, sv, 1.0, 0.0)
+    if op == 3:
+        return (1.0, 0.0, float(int(magnitude / 9.0 * 0.45 * sign * w)),
+                0.0, 1.0, 0.0)
+    return (1.0, 0.0, 0.0, 0.0, 1.0,
+            float(int(magnitude / 9.0 * 0.45 * sign * h)))
 
 
-def _ra_layer(key, img, magnitude, mag_std):
-    k_choice, k_mag, k_sign, k_u = jax.random.split(key, 4)
-    choice = jax.random.randint(k_choice, (), 0, _N_OPS)
-    mag = magnitude + mag_std * jax.random.normal(k_mag)
-    mag = jnp.clip(mag, 0.0, 10.0)
-    u_sign = jax.random.uniform(k_sign)
+def _balanced_split(total: int, parts: int):
+    base, rem = divmod(total, parts)
+    return [base + (1 if i < rem else 0) for i in range(parts)]
 
-    h, w = img.shape[0], img.shape[1]
-    out = img
-    pos_mats, neg_mats = _static_geo_mats(float(magnitude), h, w)
-    for g in range(_N_GEO):
-        for mats, cond in ((pos_mats, u_sign < 0.5),
-                           (neg_mats, u_sign >= 0.5)):
-            cand = _affine_warp(img, jnp.asarray(mats[g]))
-            out = jnp.where((choice == g) & cond, cand, out)
-    for i, op in enumerate(_EW_OPS):
-        out = jnp.where(choice == _N_GEO + i, op(img, mag, u_sign), out)
-    return jnp.clip(out, 0.0, 255.0)
+
+# (sign, magnitude offset in units of mag_std) sub-variants per geo op:
+# 3 quantized jitter levels x 2 signs. The +-1 levels approximate the
+# gaussian mstd jitter (mean exact, std ~0.82*mstd) while keeping every
+# warp matrix a compile-time constant (advisor r4: the nominal-only
+# matrices dropped magnitude diversity from 5 of 15 ops).
+_GEO_VARIANTS = [(s, lv) for lv in (-1.0, 0.0, 1.0) for s in (1.0, -1.0)]
+
+
+# Warp-fusion economics on v5e (measured r5): an XLA warp fusion costs
+# ~2.2 ms nearly FLAT in batch size (gather positions vectorize over the
+# batch dim, so a 3-image slice costs about what an 85-image slice does),
+# while pad+slice copies cost ~0.1 ms inside the fused layer. Per-image
+# candidate selection (r4) paid 10 warps x all images = 130 ms/layer;
+# naive per-(op,sign,level) slices paid 30 fusions x 2.2 = 70 ms; a
+# single merged per-slot gather table was WORSE (163 ms: gathers whose
+# indices vary across the batch dim lose the batch vectorization, whether
+# the indices are literal constants or traced). The landed design pays
+# exactly THREE warp fusions per level:
+#   - rotate/shear-x/shear-y: one fusion per (op, level); the NEGATIVE
+#     sign rides the positive-sign matrix by mirror conjugation
+#     (flip(warp_M(flip(img))) == warp_{FMF}(img), and F.rot(t).F =
+#     rot(-t), F.shear(s).F = shear(-s) — exact, including the PIL
+#     half-pixel frame, because array reversal IS the pixel-center
+#     mirror x -> W - x).
+#   - translate x/y: offsets are integral by construction -> exact
+#     pad+slice copies, one per (level, sign).
+
+
+def _warp_pm(sl: jnp.ndarray, op: int, lvl: float, n_pos: int,
+             h: int, w: int) -> jnp.ndarray:
+    """Warp slice ``sl`` with geo op (0 rotate, 1 shear-x, 2 shear-y) at
+    static magnitude lvl: the first n_pos images get sign +1, the rest
+    sign -1 via mirror conjugation, all in ONE fusion."""
+    flip_ax = 1 if op == 2 else 2   # shear-y mirrors rows, others cols
+    flip = lambda t: jnp.flip(t, axis=flip_ax)
+    mat = jnp.asarray(_static_geo_mat(op, 1.0, lvl, h, w))
+    merged = jnp.concatenate([sl[:n_pos], flip(sl[n_pos:])], axis=0)
+    warped = jax.vmap(lambda im: _affine_warp(im, mat))(merged)
+    return jnp.concatenate([warped[:n_pos], flip(warped[n_pos:])], axis=0)
+
+
+def _translate_px(sl: jnp.ndarray, shift: int, axis: int) -> jnp.ndarray:
+    """Integer translate with zero fill — exactly _affine_warp with the
+    translate matrix (whose offset is integral by construction), as a
+    pad+slice copy instead of a 2.2 ms gather fusion. Matrix convention:
+    out(x) samples in(x + shift), so positive shift pulls content toward
+    the origin."""
+    if shift == 0:
+        return sl
+    size = sl.shape[axis]
+    pad = [(0, 0)] * sl.ndim
+    pad[axis] = (0, shift) if shift > 0 else (-shift, 0)
+    padded = jnp.pad(sl, pad)
+    lo = shift if shift > 0 else 0
+    return jax.lax.slice_in_dim(padded, lo, lo + size, axis=axis)
+
+
+def _ra_layer_batch(key, imgs, magnitude, mag_std):
+    """One RandAugment layer over the whole batch, TPU-style.
+
+    Instead of realizing all 15 candidate ops per image and selecting
+    (the r4 design: 10 constant-folded warps + 10 elementwise ops PER
+    IMAGE = 272 ms/256-batch inside the train step), the batch is
+    randomly permuted and partitioned into near-equal static slices, one
+    per op (geo ops further split across _GEO_VARIANTS); each op runs
+    only on its own slice and the inverse permutation restores order.
+    Total compute = ~1 op per image instead of 15.
+
+    Distribution note: this is STRATIFIED op assignment — each batch
+    carries ~B/15 applications of every op and the per-image marginal
+    stays uniform (any image lands in any slice with equal probability
+    via the permutation), but op counts no longer fluctuate like iid
+    draws, and the `B % 15` remainder gives the first ops one extra slot
+    (relative bias <= 1/(B//15); <0.4% for B=256). Augmentation is a
+    distribution, not a numerics contract; elementwise magnitudes keep
+    the full per-image gaussian jitter."""
+    b, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    k_perm, k_mag, k_sign = jax.random.split(key, 3)
+    perm = jax.random.permutation(k_perm, b)
+    x = imgs[perm]
+    mags = jnp.clip(magnitude + mag_std * jax.random.normal(k_mag, (b,)),
+                    0.0, 10.0)
+    u_signs = jax.random.uniform(k_sign, (b,))
+
+    counts = _balanced_split(b, _N_OPS)
+    outs = []
+    start = 0
+    for op_i in range(_N_GEO):
+        count = counts[op_i]
+        if count == 0:
+            continue
+        # sub-variant sizes in _GEO_VARIANTS order: (+,-1),(-,-1),(+,0),...
+        sub6 = _balanced_split(count, len(_GEO_VARIANTS))
+        for lv_i, lv in enumerate((-1.0, 0.0, 1.0)):
+            n_pos, n_neg = sub6[2 * lv_i], sub6[2 * lv_i + 1]
+            tot = n_pos + n_neg
+            if tot == 0:
+                continue
+            lvl = min(10.0, max(0.0, float(magnitude) + float(mag_std) * lv))
+            sl = x[start:start + tot]
+            if op_i < 3:   # rotate / shear-x / shear-y: flip-merged warp
+                outs.append(_warp_pm(sl, op_i, lvl, n_pos, h, w))
+            else:          # translate x / y: exact integer pad+slice
+                axis = 2 if op_i == 3 else 1
+                dim = w if op_i == 3 else h
+                shift = int(lvl / 9.0 * 0.45 * dim)
+                pieces = []
+                if n_pos:
+                    pieces.append(_translate_px(sl[:n_pos], shift, axis))
+                if n_neg:
+                    pieces.append(_translate_px(sl[n_pos:], -shift, axis))
+                outs.append(pieces[0] if len(pieces) == 1
+                            else jnp.concatenate(pieces, axis=0))
+            start += tot
+    for op_i in range(_N_GEO, _N_OPS):
+        count = counts[op_i]
+        if count == 0:
+            continue
+        op = _EW_OPS[op_i - _N_GEO]
+        outs.append(jax.vmap(op)(x[start:start + count],
+                                 mags[start:start + count],
+                                 u_signs[start:start + count]))
+        start += count
+    y = jnp.clip(jnp.concatenate(outs, axis=0), 0.0, 255.0)
+    return y[jnp.argsort(perm)]
 
 
 # ------------------------------------------------------------------ RRC
@@ -333,22 +442,23 @@ def make_train_aug(img_size: int = 224, hflip: float = 0.5,
 
     def one(key, img_u8):
         img = img_u8.astype(jnp.float32)
-        k_crop, k_flip, k_ra = jax.random.split(key, 3)
+        k_crop, k_flip = jax.random.split(key)
         img = _rrc_one(k_crop, img, img_size, scale, ratio, method)
         if hflip > 0:
             img = jnp.where(jax.random.uniform(k_flip) < hflip,
                             img[:, ::-1], img)
-        img = jnp.clip(img, 0.0, 255.0)
-        if ra is not None:
-            for i in range(ra["num_ops"]):
-                img = _ra_layer(jax.random.fold_in(k_ra, i), img,
-                                ra["magnitude"], ra["mag_std"])
-        return img
+        return jnp.clip(img, 0.0, 255.0)
 
     @functools.partial(jax.named_call, name="device_aug")
     def aug_fn(rng, images_u8):
         keys = jax.random.split(rng, images_u8.shape[0])
-        return jax.vmap(one)(keys, images_u8)
+        imgs = jax.vmap(one)(keys, images_u8)
+        if ra is not None:
+            k_ra = jax.random.fold_in(rng, 0x5A)
+            for i in range(ra["num_ops"]):
+                imgs = _ra_layer_batch(jax.random.fold_in(k_ra, i), imgs,
+                                       ra["magnitude"], ra["mag_std"])
+        return imgs
 
     return aug_fn
 

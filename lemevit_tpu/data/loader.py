@@ -231,13 +231,30 @@ class DevicePrefetcher:
     def __init__(self, raw_iter, put: Callable, depth: int = 2):
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self._done = object()
+        self._stop = threading.Event()
 
         def worker():
+            # Worker failures must surface at the consumer, not vanish into
+            # a clean StopIteration (which silently truncates an epoch /
+            # reports metrics over a partial dataset).
             try:
                 for batch in raw_iter:
-                    self._q.put({k: put(v) for k, v in batch.items()})
+                    if self._stop.is_set():
+                        return
+                    item = {k: put(v) for k, v in batch.items()}
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+            except BaseException as exc:  # noqa: BLE001 — re-raised in __next__
+                self._q.put(("__prefetch_error__", exc))
             finally:
-                self._q.put(self._done)
+                try:
+                    self._q.put_nowait(self._done)
+                except queue.Full:
+                    pass
 
         self._t = threading.Thread(target=worker, daemon=True)
         self._t.start()
@@ -249,7 +266,22 @@ class DevicePrefetcher:
         item = self._q.get()
         if item is self._done:
             raise StopIteration
+        if isinstance(item, tuple) and len(item) == 2 \
+                and item[0] == "__prefetch_error__":
+            raise item[1]
         return item
+
+    def close(self):
+        """Unblock and retire the worker thread so an unconsumed prefetcher
+        (e.g. --steps-per-epoch < len(loader)) doesn't pin ``depth`` device
+        batches for the rest of the epoch."""
+        self._stop.set()
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._t.join(timeout=5)
 
 
 def default_collate(samples) -> Dict[str, np.ndarray]:

@@ -110,15 +110,18 @@ def warmup_poly_schedule(base_lr: float, total_steps: int,
                          warmup_ratio: float = 1e-6):
     """mmcv poly policy + linear warmup — the segmentation schedule of
     record (reference upernet_lemevit_512x512_80k_potsdam.py lr_config:
-    poly power 1.0 min_lr 0, warmup linear 1500 iters ratio 1e-6)."""
+    poly power 1.0 min_lr 0, warmup linear 1500 iters ratio 1e-6).
+
+    mmcv's PolyLrUpdaterHook computes progress as s/total (no warmup
+    offset) and multiplies the warmup factor on top — e.g. at s=1500 the
+    LR is 4e-4*(1-1500/80000), not 4e-4."""
     import jax.numpy as jnp
 
     def sched(step):
         s = jnp.asarray(step, jnp.float32)
         ramp = 1.0 - (1.0 - s / max(warmup_iters, 1)) * (1.0 - warmup_ratio)
         warm = jnp.where(s < warmup_iters, ramp, 1.0)
-        frac = jnp.clip((s - warmup_iters)
-                        / max(total_steps - warmup_iters, 1), 0.0, 1.0)
+        frac = jnp.clip(s / max(total_steps, 1), 0.0, 1.0)
         poly = (base_lr - min_lr) * (1.0 - frac) ** power + min_lr
         return poly * warm
 

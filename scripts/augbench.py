@@ -55,14 +55,17 @@ def main():
         "warp_rot20": lambda im: da._affine_warp(
             im, da._geo_matrix(jnp.int32(0), jnp.float32(6.0),
                                jnp.float32(0.0), OUT, OUT)),
-        "ra_layer_full": lambda im: da._ra_layer(
-            jax.random.PRNGKey(1), im, 9.0, 0.5),
     }
     for name, op in pieces.items():
         try:
             print(f"{name:24s} {timeit(vm(op), xf):8.1f} ms", flush=True)
         except Exception as e:
             print(f"{name:24s} ERROR {type(e).__name__}: {e}", flush=True)
+
+    # one batched RA layer (stratified slices; the r5 design)
+    ra1 = jax.jit(lambda k, im: da._ra_layer_batch(k, im, 9.0, 0.5))
+    print(f"{'ra_layer_batch':24s} {timeit(ra1, key, xf):8.1f} ms",
+          flush=True)
 
     # RRC resample alone (scale_and_translate cubic)
     rrc = jax.jit(jax.vmap(functools.partial(

@@ -125,7 +125,9 @@ def bench_stages(batch_size):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", nargs="*",
-                    default=["lemevit_tiny", "lemevit_small", "lemevit_base"])
+                    default=["lemevit_tiny", "lemevit_small", "lemevit_base",
+                             "lemevit_tiny_v2", "lemevit_small_v2",
+                             "vit_tiny"])
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--stages", action="store_true")
     ap.add_argument("--out", default="")

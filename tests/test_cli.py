@@ -24,6 +24,32 @@ def test_train_cli_synthetic(tmp_path):
     assert any(c.startswith("checkpoint-") for c in ckpts)
 
 
+def test_summary_csv_schema_with_sparse_eval(tmp_path):
+    """--eval-interval 2: epoch 0 writes no eval stats, epoch 1 does.
+    The summary must still carry the FULL fixed header (reference
+    update_summary contract, main.py:619-629) so DictReader sees the
+    eval columns — r4 wrote the header from the first row's keys and
+    every later eval column was silently dropped."""
+    import csv
+    from lemevit_tpu.cli.train import main
+    main([
+        "--synthetic", "--model", "lemevit_micro", "--img-size", "32",
+        "--batch-size", "2", "--num-classes", "5", "--epochs", "2",
+        "--steps-per-epoch", "2", "--warmup-epochs", "1",
+        "--eval-interval", "2", "--output", str(tmp_path),
+        "--workers", "1",
+    ])
+    with open(tmp_path / "lemevit_micro" / "summary.csv") as f:
+        r = csv.DictReader(f)
+        assert r.fieldnames == ["epoch", "train_loss", "epoch_time_s",
+                                "top1", "top5", "ema_top1", "ema_top5"]
+        rows = list(r)
+    assert len(rows) == 2
+    assert rows[0]["top1"] == ""            # no eval at epoch 0
+    assert float(rows[1]["top1"]) >= 0.0    # eval ran at epoch 1
+    assert float(rows[1]["ema_top1"]) >= 0.0
+
+
 def test_train_cli_resume(tmp_path):
     from lemevit_tpu.cli.train import main
     args = [

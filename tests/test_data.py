@@ -259,3 +259,36 @@ def test_loader_process_workers_match_threads():
     # resume skip works on the process path too
     tail = [b["label"].tolist() for b in lp.iter_batches(4)]
     assert tail == [b["label"].tolist() for b in bt[4:]]
+
+
+@pytest.mark.fast
+def test_device_prefetcher_propagates_worker_errors():
+    """A loader/device_put failure must raise at the consumer, not
+    truncate the epoch as a clean StopIteration (advisor r4 medium)."""
+    from lemevit_tpu.data.loader import DevicePrefetcher
+
+    def bad_iter():
+        yield {"image": np.zeros((2, 4, 4, 3), np.uint8),
+               "label": np.zeros((2,), np.int32)}
+        raise RuntimeError("decode exploded")
+
+    it = DevicePrefetcher(bad_iter(), lambda v: v, depth=2)
+    next(it)  # first batch fine
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        next(it)
+
+
+@pytest.mark.fast
+def test_device_prefetcher_close_unblocks_worker():
+    """close() retires the worker thread even when the consumer stops
+    early (an unconsumed prefetcher must not pin device batches)."""
+    from lemevit_tpu.data.loader import DevicePrefetcher
+
+    def many():
+        for i in range(100):
+            yield {"i": np.asarray([i])}
+
+    it = DevicePrefetcher(many(), lambda v: v, depth=2)
+    next(it)
+    it.close()
+    assert not it._t.is_alive()

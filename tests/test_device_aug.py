@@ -228,3 +228,42 @@ def test_spawn_worker_loader_matches_threads(tmp_path):
     for a, b in zip(ref, spawned):
         np.testing.assert_array_equal(a["image"], b["image"])
         np.testing.assert_array_equal(a["label"], b["label"])
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("op", [0, 1, 2])
+def test_warp_pm_matches_affine_warp_both_signs(op):
+    """The flip-merged warp (_warp_pm) must reproduce _affine_warp with
+    the +matrix for the positive half and the -matrix for the negative
+    half (mirror conjugation is exact in the PIL half-pixel frame)."""
+    import numpy as np
+    h = w = 48
+    arrs = np.stack([_img(i, h) for i in range(4)]).astype(np.float32)
+    lvl = 8.5
+    out = np.asarray(da._warp_pm(jnp.asarray(arrs), op, lvl, 2, h, w))
+    for g in range(4):
+        sign = 1.0 if g < 2 else -1.0
+        ref = np.asarray(da._affine_warp(
+            jnp.asarray(arrs[g]),
+            jnp.asarray(da._static_geo_mat(op, sign, lvl, h, w))))
+        np.testing.assert_allclose(out[g], ref, atol=1e-2,
+                                   err_msg=f"op={op} g={g}")
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("op,sign", [(3, 1.0), (3, -1.0),
+                                     (4, 1.0), (4, -1.0)])
+def test_translate_px_matches_affine_warp(op, sign):
+    import numpy as np
+    h = w = 48
+    arr = _img(2, h).astype(np.float32)
+    lvl = 9.0
+    ref = np.asarray(da._affine_warp(
+        jnp.asarray(arr),
+        jnp.asarray(da._static_geo_mat(op, sign, lvl, h, w))))
+    dim = w if op == 3 else h
+    shift = int(sign) * int(lvl / 9.0 * 0.45 * dim)
+    axis = 2 if op == 3 else 1
+    out = np.asarray(da._translate_px(jnp.asarray(arr)[None],
+                                      shift, axis))[0]
+    np.testing.assert_allclose(out, ref, atol=1e-3)

@@ -86,7 +86,8 @@ print("GATE_OK", name)
 
 
 @pytest.mark.parametrize("name", ["lemevit_tiny", "lemevit_small",
-                                  "lemevit_base", "lemevit_tiny_v2"])
+                                  "lemevit_base", "lemevit_tiny_v2",
+                                  "lemevit_small_v2", "vit_tiny"])
 def test_train_step_compiles_on_tpu(name):
     """Runs in a clean subprocess: the pytest process itself is pinned to
     CPU by conftest, and the scoped-VMEM failure mode under test only
