@@ -56,15 +56,55 @@ def sdpa_bnhd(q: jax.Array, k: jax.Array, v: jax.Array,
     XLA folds the head axis into dot_general batch dims, so the data never
     moves; on TPU this saves two full transposes of the qkv tensor and one
     of the output per attention call vs. the (B,H,N,d) layout.
+
+    Large self-attention (n_q * n_k > 4M — the all-"S" vit_tiny ablation
+    at N=3136, or detection S-stages at 1024^2 where N=4096) routes to
+    the query-chunked path: the one-shot fp32 score tensor would be
+    f32[B,H,N,N] (30.8 GB for vit_tiny @ bs256 — measured HBM OOM).
     """
     d = q.shape[-1]
     scale = d ** -0.5 if scale is None else scale
+    if q.shape[1] * k.shape[1] > 4 * 1024 * 1024:
+        return sdpa_bnhd_chunked(q, k, v, scale)
     logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                         preferred_element_type=jnp.float32)
     logits = logits * jnp.float32(scale)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhnm,bmhd->bnhd", probs.astype(v.dtype), v)
     return out.astype(q.dtype)
+
+
+def sdpa_bnhd_chunked(q: jax.Array, k: jax.Array, v: jax.Array,
+                      scale: Optional[float] = None,
+                      target_bytes: int = 1 << 30) -> jax.Array:
+    """Memory-efficient SDPA: lax.map over query chunks, full keys per
+    chunk, fp32 softmax, jax.checkpoint so the backward recomputes each
+    chunk's scores instead of storing them. Peak transient =
+    B*H*chunk*n_k fp32 (sized to ~target_bytes) instead of the full
+    B*H*n_q*n_k score tensor. Numerically identical to sdpa_bnhd
+    (same einsums, softmax over the full key axis per query row)."""
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    scale = d ** -0.5 if scale is None else scale
+    chunk = max(64, min(n, target_bytes // max(1, b * h * m * 4)))
+    chunk = 1 << (chunk.bit_length() - 1)   # pow2 floor: even padding
+    pad = (-n) % chunk
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    nc = (n + pad) // chunk
+    qc = qp.reshape(b, nc, chunk, h, d).transpose(1, 0, 2, 3, 4)
+
+    @jax.checkpoint
+    def one(qi):
+        logits = jnp.einsum("bnhd,bmhd->bhnm", qi, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits * jnp.float32(scale)
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhnm,bmhd->bnhd", probs.astype(v.dtype),
+                          v).astype(q.dtype)
+
+    out = jax.lax.map(one, qc)              # (nc, b, chunk, h, d)
+    out = out.transpose(1, 0, 2, 3, 4).reshape(b, n + pad, h, d)
+    return out[:, :n]
 
 
 def split_heads(x: jax.Array, num_heads: int) -> jax.Array:

@@ -392,3 +392,34 @@ def test_c_rows_matches_online_tiled():
                                    rtol=3e-5, atol=3e-5)
     finally:
         monkey.undo()
+
+
+@pytest.mark.fast
+def test_sdpa_bnhd_chunked_matches_plain():
+    """Chunked (memory-efficient) SDPA == one-shot SDPA, values and grads
+    (the big-N route for vit_tiny N=3136 / det 1024^2 N=4096)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lemevit_tpu.attn import reference as ref
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, 200, 3, 16), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 200, 3, 16), jnp.float32)
+    v = jnp.asarray(rng.randn(2, 200, 3, 16), jnp.float32)
+    # force tiny chunks so padding + multi-chunk paths are exercised
+    out_c = ref.sdpa_bnhd_chunked(q, k, v, target_bytes=2 * 3 * 200 * 4 * 64)
+    out_p = ref.sdpa_bnhd(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_p),
+                               atol=1e-5)
+
+    def loss_c(q):
+        return ref.sdpa_bnhd_chunked(
+            q, k, v, target_bytes=2 * 3 * 200 * 4 * 64).sum()
+
+    def loss_p(q):
+        return ref.sdpa_bnhd(q, k, v).sum()
+
+    gc = jax.grad(loss_c)(q)
+    gp = jax.grad(loss_p)(q)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gp), atol=1e-4)
