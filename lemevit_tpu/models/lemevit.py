@@ -212,7 +212,7 @@ class LeMeBlock(nn.Module):
         (C blocks, unsupported shapes, or stage-1-scale D backward that
         exceeds the VMEM budget)."""
         if self.attn_type not in ("S", "D", "D2", "C") \
-                or not self._fusable(True):
+                or not self._fusable(True, x.shape[1]):
             return None
         import os
         from lemevit_tpu.attn import pallas_block, pallas_train
@@ -348,8 +348,19 @@ class LeMeBlock(nn.Module):
         bias = v["pos_embed"]["dwconv"]["bias"].astype(self.dtype)
         return (taps, bias)
 
-    def _fusable(self, deterministic):
+    def _fusable(self, deterministic, n=None):
+        import os
         from lemevit_tpu.attn.modules import _use_pallas
+        # Token-count cap: the fused whole-block kernels have compiled and
+        # been benchmarked up to n=3136 (224^2 stage 1). At seg/det scales
+        # (512^2 -> n=16384) the Mosaic lowering HANGS the compiler (r5:
+        # UperNet-base 512^2 compiled in 70 s with the XLA backbone vs
+        # >51 min, killed, with the fused path) — beyond the proven scale,
+        # fall back to the XLA composition (which routes big-N S blocks to
+        # the chunked SDPA). PB_MAX_FUSED_N overrides.
+        max_n = int(os.environ.get("PB_MAX_FUSED_N", "3136"))
+        if n is not None and n > max_n:
+            return False
         return (deterministic and self.pre_norm and not self.use_layer_scale
                 and not self.mlp_dwconv and not self.is_initializing()
                 and _use_pallas(self.attn_backend))
@@ -359,7 +370,7 @@ class LeMeBlock(nn.Module):
         x must be PRE-CPE and the 3x3 position embedding runs in-kernel
         (PB_D_CPE=0 forces the external-dwconv path)."""
         if self.attn_type not in ("D", "D2") \
-                or not self._fusable(deterministic):
+                or not self._fusable(deterministic, x.shape[1]):
             return None
         import os
         from lemevit_tpu.attn import pallas_block
@@ -406,7 +417,8 @@ class LeMeBlock(nn.Module):
         With ``with_cpe`` xt must be PRE-CPE and the 3x3 position
         embedding runs in-kernel on the k/v side only (PB_C_CPE=0 forces
         the external-dwconv path)."""
-        if self.attn_type != "C" or not self._fusable(deterministic):
+        if self.attn_type != "C" \
+                or not self._fusable(deterministic, xt.shape[1]):
             return None
         import os
         from lemevit_tpu.attn import pallas_block
@@ -451,7 +463,7 @@ class LeMeBlock(nn.Module):
         (PB_S_CPE=0 forces the external-dwconv path). Only on the pre-norm,
         no-layer-scale, deterministic path; numerics match the composition
         (tested)."""
-        if not self._fusable(deterministic):
+        if not self._fusable(deterministic, x.shape[1]):
             return None
         try:
             import os
@@ -609,9 +621,9 @@ class LeMeViT(nn.Module):
             return None
         from lemevit_tpu.attn import pallas_block
         try:
-            if not blocks[0]._fusable(True):
-                return None
             b, h, w, ch = x.shape
+            if not blocks[0]._fusable(True, h * w):
+                return None
             dt = self.dtype
             params_list, cpes = [], []
             for j in range(len(blocks)):

@@ -47,7 +47,7 @@ def _state_for(model, variables, lr=1e-3):
                       apply_fn=model.apply, tx=tx)
 
 
-def build_seg():
+def build_seg(backend="auto"):
     """UperNet-base @ 512^2, batch 10 — configs/seg/upernet_lemevit_base_
     512x512_80k_potsdam.yaml; graph identical to cli/train_seg.py."""
     from lemevit_tpu.data.mixup import normalize
@@ -56,7 +56,7 @@ def build_seg():
 
     num_classes, ignore_index, crop, batch = 5, 5, 512, 10
     backbone = create_model("lemevit_base", features_only=True,
-                            dtype=jnp.bfloat16)
+                            dtype=jnp.bfloat16, attn_backend=backend)
     model = UperNet(backbone=backbone, num_classes=num_classes,
                     channels=512, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0),
@@ -89,7 +89,7 @@ def build_seg():
     return step, state, batch
 
 
-def build_det():
+def build_det(backend="auto"):
     """Oriented R-CNN small @ 1024^2, batch 8, rpn_nms_pre 2000 —
     configs/det/oriented_rcnn_lemevit_small_fpn_1x_dota10.yaml; graph
     identical to cli/train_det.py."""
@@ -100,7 +100,7 @@ def build_det():
 
     num_classes, img, batch, max_boxes = 15, 1024, 8, 64
     backbone = create_model("lemevit_small", features_only=True,
-                            dtype=jnp.bfloat16)
+                            dtype=jnp.bfloat16, attn_backend=backend)
     det = OrientedRCNN(backbone=backbone, num_classes=num_classes,
                        fpn_channels=256, num_proposals=256,
                        rpn_nms_pre=2000, dtype=jnp.bfloat16)
@@ -127,11 +127,11 @@ def build_det():
     batch = {"image": jnp.zeros((batch, img, img, 3), jnp.uint8),
              "gt_obbs": gt,
              "gt_labels": jnp.zeros((batch, max_boxes), jnp.int32),
-             "gt_mask": jnp.ones((batch, max_boxes), jnp.float32)}
+             "gt_mask": jnp.ones((batch, max_boxes), bool)}
     return step, state, batch
 
 
-def build_cd():
+def build_cd(backend="auto"):
     """BIT-small @ 256^2, batch 16 — configs/cd/bit_lemevit_small_cdd.yaml;
     graph identical to cli/train_cd.py (loss ce)."""
     from lemevit_tpu.models import create_model
@@ -140,7 +140,7 @@ def build_cd():
 
     patch, batch = 256, 16
     backbone = create_model("lemevit_small", features_only=True,
-                            dtype=jnp.bfloat16)
+                            dtype=jnp.bfloat16, attn_backend=backend)
     model = BITChangeDetector(backbone=backbone, dec_depth=8, token_len=4,
                               dtype=jnp.bfloat16)
     dummy = jnp.zeros((1, patch, patch, 3))
@@ -178,15 +178,18 @@ def main():
     ap.add_argument("--tasks", nargs="*", default=["seg", "det", "cd"])
     ap.add_argument("--compile-only", action="store_true")
     ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument("--attn-backend", default="auto",
+                    help="backbone attention backend (auto/pallas/xla)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
-    results = {"backend": jax.default_backend(), "failed": []}
+    results = {"backend": jax.default_backend(),
+               "attn_backend": args.attn_backend, "failed": []}
     for task in args.tasks:
         entry = {}
         results[task] = entry
         try:
-            step, state, batch = BUILDERS[task]()
+            step, state, batch = BUILDERS[task](args.attn_backend)
             jstep = jax.jit(step, donate_argnums=(0,))
             t0 = time.perf_counter()
             compiled = jstep.lower(state, batch).compile()
