@@ -45,11 +45,39 @@ def _bilinear_gather(feat: jax.Array, bidx: jax.Array,
     return out * valid[..., None]
 
 
+# rois per chunk in the checkpointed lax.map: keeps the four live bilinear
+# tap buffers (chunk, ph, pw, ns, ns, C) bounded. At det-train scale
+# (K=2048, 7x7 bins, ns=2, C=256) the unchunked graph held 16 x 392 MB
+# f32 tap temps as autodiff residuals — 6.3 GB of the r5 det HBM OOM.
+_ROI_CHUNK = 256
+
+
+def _roi_chunked(impl, rois: jax.Array, k_small: int = 256):
+    """Run per-roi sampler ``impl`` over checkpointed roi chunks; the
+    backward recomputes each chunk's gathers instead of storing them."""
+    k = rois.shape[0]
+    if k <= k_small:
+        return impl(rois)
+    pad = (-k) % _ROI_CHUNK
+    rp = jnp.pad(rois, ((0, pad), (0, 0)))
+    chunks = rp.reshape(-1, _ROI_CHUNK, rois.shape[1])
+    out = jax.lax.map(jax.checkpoint(impl), chunks)
+    out = out.reshape((k + pad,) + out.shape[2:])
+    return out[:k]
+
+
 def roi_align(feat: jax.Array, rois: jax.Array, output_size: Tuple[int, int],
               spatial_scale: float = 1.0, sampling_ratio: int = 2,
               aligned: bool = False) -> jax.Array:
     """ROI align on NHWC features. aligned=True is the v2/detectron2
     half-pixel convention. Returns (K, ph, pw, C)."""
+    return _roi_chunked(
+        lambda r: _roi_align_impl(feat, r, output_size, spatial_scale,
+                                  sampling_ratio, aligned), rois)
+
+
+def _roi_align_impl(feat, rois, output_size, spatial_scale,
+                    sampling_ratio, aligned):
     ph, pw = output_size
     ns = max(sampling_ratio, 1)
     offset = 0.5 if aligned else 0.0
@@ -87,6 +115,14 @@ def roi_align_rotated(feat: jax.Array, rois: jax.Array,
                       ) -> jax.Array:
     """ROI align on rotated rois (batch_idx,cx,cy,w,h,theta). The sample grid
     is the axis-aligned grid rotated by theta around the roi center."""
+    return _roi_chunked(
+        lambda r: _roi_align_rotated_impl(feat, r, output_size,
+                                          spatial_scale, sampling_ratio,
+                                          aligned, clockwise), rois)
+
+
+def _roi_align_rotated_impl(feat, rois, output_size, spatial_scale,
+                            sampling_ratio, aligned, clockwise):
     ph, pw = output_size
     ns = max(sampling_ratio, 1)
     bidx = rois[:, 0].astype(jnp.int32)

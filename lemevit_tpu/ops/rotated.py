@@ -107,6 +107,94 @@ def quad_intersection_area(q1: jax.Array, q2: jax.Array) -> jax.Array:
     return jnp.where(n >= 3, _poly_area(poly, n), 0.0)
 
 
+def _quad_inter_area_lanes(ca: jax.Array, cb: jax.Array) -> jax.Array:
+    """All-pairs intersection areas of convex quads, structure-of-arrays.
+
+    ca (N,4,2), cb (M,4,2) -> (N,M). Coordinates live as (vertex, N*M)
+    planes so the BIG pair axis is the minor (lane) dimension. The
+    vmap-of-vmap scalar path puts the pair axes leading and the geometry
+    dims (8,2,2) minor, which the TPU tiler pads (8,128)-wise into a 16x
+    memory expansion — measured 15.6 GB for ONE f32[8,512,2000,8,2,2]
+    temp in the det train graph at rpn_nms_pre=2000 (r5 HBM OOM). Same
+    algorithm as quad_intersection_area: Sutherland-Hodgman with fixed
+    (MAXV,) buffers, compaction via prefix-sum one-hot accumulation
+    (no gather/scatter)."""
+    n, m = ca.shape[0], cb.shape[0]
+    p = n * m
+    kv = jnp.arange(MAXV)[:, None]                       # (8,1)
+
+    def planes(q, tile_as):  # (K,4,2) -> two (4,P) coordinate planes
+        x = q[..., 0].T                                  # (4,K)
+        y = q[..., 1].T
+        if tile_as == "rows":   # vary along N, broadcast over M
+            x = jnp.broadcast_to(x[:, :, None], (4, n, m)).reshape(4, p)
+            y = jnp.broadcast_to(y[:, :, None], (4, n, m)).reshape(4, p)
+        else:                   # vary along M
+            x = jnp.broadcast_to(x[:, None, :], (4, n, m)).reshape(4, p)
+            y = jnp.broadcast_to(y[:, None, :], (4, n, m)).reshape(4, p)
+        return x, y
+
+    def ccw(qx, qy):  # (4,P) -> CCW-oriented (shoelace sign)
+        s = jnp.sum(qx * jnp.roll(qy, -1, 0) - jnp.roll(qx, -1, 0) * qy, 0)
+        flip = s < 0
+        return (jnp.where(flip, qx[::-1], qx),
+                jnp.where(flip, qy[::-1], qy))
+
+    qax, qay = ccw(*planes(ca, "rows"))
+    qbx, qby = ccw(*planes(cb, "cols"))
+
+    px = jnp.zeros((MAXV, p)).at[:4].set(qax)
+    py = jnp.zeros((MAXV, p)).at[:4].set(qay)
+    cnt = jnp.full((p,), 4, jnp.int32)
+
+    def wrap_next(t, cnt):
+        """t[(k+1) % cnt] for the active rows: t (8,P) -> (8,P)."""
+        t1 = jnp.concatenate([t[1:], t[:1]], axis=0)
+        return jnp.where(kv == cnt[None, :] - 1, t[0][None, :], t1)
+
+    for i in range(4):
+        ax_, ay_ = qbx[i], qby[i]
+        bx_, by_ = qbx[(i + 1) % 4], qby[(i + 1) % 4]
+        ex, ey = bx_ - ax_, by_ - ay_
+        s_cur = ex * (py - ay_) - ey * (px - ax_)        # (8,P)
+        nx = wrap_next(px, cnt)
+        ny = wrap_next(py, cnt)
+        s_nxt = wrap_next(s_cur, cnt)
+        in_cur = s_cur >= 0
+        in_nxt = s_nxt >= 0
+        denom = s_cur - s_nxt
+        t = s_cur / jnp.where(jnp.abs(denom) < 1e-12,
+                              jnp.where(denom < 0, -1e-12, 1e-12), denom)
+        ix = px + t * (nx - px)
+        iy = py + t * (ny - py)
+        active = kv < cnt[None, :]
+        # interleave (cur, intersection) into 16 ordered slots
+        ex16_x = jnp.stack([px, ix], axis=1).reshape(2 * MAXV, p)
+        ex16_y = jnp.stack([py, iy], axis=1).reshape(2 * MAXV, p)
+        ok16 = jnp.stack([active & in_cur,
+                          active & (in_cur ^ in_nxt)],
+                         axis=1).reshape(2 * MAXV, p)
+        # stable compaction: slot j lands at row pos[j]; accumulate with
+        # per-slot one-hot adds (16 static iterations of (8,P) work —
+        # no gather, no (8,16,P) one-hot buffer)
+        pos = jnp.cumsum(ok16, axis=0) - 1               # (16,P)
+        new_x = jnp.zeros((MAXV, p))
+        new_y = jnp.zeros((MAXV, p))
+        for j in range(2 * MAXV):
+            sel = (ok16[j][None, :] & (pos[j][None, :] == kv)
+                   ).astype(px.dtype)                    # (8,P)
+            new_x = new_x + sel * ex16_x[j][None, :]
+            new_y = new_y + sel * ex16_y[j][None, :]
+        px, py = new_x, new_y
+        cnt = jnp.minimum(ok16.sum(0), MAXV)
+
+    nx = wrap_next(px, cnt)
+    ny = wrap_next(py, cnt)
+    cross = jnp.where(kv < cnt[None, :], px * ny - nx * py, 0.0)
+    area = jnp.abs(cross.sum(0)) / 2.0
+    return jnp.where(cnt >= 3, area, 0.0).reshape(n, m)
+
+
 def box_iou_rotated(a: jax.Array, b: jax.Array, mode: str = "iou",
                     aligned: bool = False, eps: float = 1e-6) -> jax.Array:
     """Rotated IoU. a (N,5), b (M,5) -> (N,M); aligned=True -> (N,) pairwise.
@@ -119,8 +207,7 @@ def box_iou_rotated(a: jax.Array, b: jax.Array, mode: str = "iou",
         inter = jax.vmap(quad_intersection_area)(ca, cb)
         union = area_a if mode == "iof" else area_a + area_b - inter
         return inter / jnp.maximum(union, eps)
-    inter = jax.vmap(lambda qa: jax.vmap(
-        lambda qb: quad_intersection_area(qa, qb))(cb))(ca)
+    inter = _quad_inter_area_lanes(ca, cb)
     if mode == "iof":
         union = area_a[:, None]
     else:

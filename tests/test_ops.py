@@ -282,3 +282,61 @@ def test_multilevel_roi_align_selects_levels():
                                    canonical_scale=64.0)
     assert float(out[0].mean()) == pytest.approx(0.0, abs=1e-6)
     assert float(out[1].mean()) == pytest.approx(1.0, abs=1e-6)
+
+
+@pytest.mark.fast
+def test_quad_inter_area_lanes_matches_scalar():
+    """The structure-of-arrays all-pairs quad intersection (the det-scale
+    layout fix) must match the scalar Sutherland-Hodgman exactly."""
+    import numpy as np
+
+    from lemevit_tpu.ops import rotated as R
+    rng = np.random.RandomState(0)
+    n, m = 13, 17
+    a = np.stack([rng.uniform(0, 50, n), rng.uniform(0, 50, n),
+                  rng.uniform(2, 20, n), rng.uniform(2, 20, n),
+                  rng.uniform(-2, 2, n)], -1).astype(np.float32)
+    b = np.stack([rng.uniform(0, 50, m), rng.uniform(0, 50, m),
+                  rng.uniform(2, 20, m), rng.uniform(2, 20, m),
+                  rng.uniform(-2, 2, m)], -1).astype(np.float32)
+    # identical pairs too (full-overlap path)
+    b[:5] = a[:5]
+    ca = R.obb_to_corners(jnp.asarray(a))
+    cb = R.obb_to_corners(jnp.asarray(b))
+    lanes = np.asarray(R._quad_inter_area_lanes(ca, cb))
+    scalar = np.asarray(jax.vmap(lambda qa: jax.vmap(
+        lambda qb: R.quad_intersection_area(qa, qb))(cb))(ca))
+    np.testing.assert_allclose(lanes, scalar, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.fast
+def test_roi_align_chunked_matches_direct():
+    """The checkpointed chunked roi path (K > 256) must equal the direct
+    path, values and grads."""
+    import numpy as np
+
+    from lemevit_tpu.ops import roi as R
+    rng = np.random.RandomState(1)
+    feat = jnp.asarray(rng.randn(2, 16, 16, 8), jnp.float32)
+    k = 300  # > k_small, not a multiple of the chunk (tests padding)
+    rois = np.stack([rng.randint(0, 2, k).astype(np.float32),
+                     rng.uniform(0, 10, k), rng.uniform(0, 10, k),
+                     rng.uniform(11, 15, k), rng.uniform(11, 15, k)], -1)
+    rois = jnp.asarray(rois, jnp.float32)
+    direct = R._roi_align_impl(feat, rois, (3, 3), 1.0, 2, True)
+    chunked = R.roi_align(feat, rois, (3, 3), aligned=True)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(direct),
+                               atol=1e-5)
+    g1 = jax.grad(lambda f: R.roi_align(f, rois, (3, 3),
+                                        aligned=True).sum())(feat)
+    g2 = jax.grad(lambda f: R._roi_align_impl(f, rois, (3, 3), 1.0, 2,
+                                              True).sum())(feat)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+    rrois = jnp.concatenate([rois[:, :1],
+                             jnp.asarray(rng.uniform(4, 12, (k, 2))),
+                             jnp.asarray(rng.uniform(2, 6, (k, 2))),
+                             jnp.asarray(rng.uniform(-1, 1, (k, 1)))], -1)
+    d = R._roi_align_rotated_impl(feat, rrois, (3, 3), 1.0, 2, True, False)
+    c = R.roi_align_rotated(feat, rrois, (3, 3))
+    np.testing.assert_allclose(np.asarray(c), np.asarray(d), atol=1e-5)
