@@ -46,6 +46,33 @@ from lemevit_tpu.core.layers import (
 
 Dtype = Any
 
+# Fused-kernel CPE placement, measured per stage shape (attn_type, N, dim)
+# on v5e @ bs256/224^2 (r5 sweep, scripts + /tmp logs -> ROADMAP.md):
+# in-kernel CPE (masked VPU shifts inside the fused block) saves an HBM
+# round-trip of x but costs VPU passes every step. The round-trip is worth
+# it at base's dims; at tiny's C=64/128 D stages the VPU cost dominates
+# (external: tiny 9126 -> 10142 img/s) and at small's S stages likewise
+# (6289 -> 6510). Shapes listed here run the CPE as an external XLA dwconv;
+# everything else keeps in-kernel CPE. PB_D_CPE / PB_S_CPE = 0/1 force
+# external/in-kernel globally for A/B (unset -> this table).
+_CPE_EXTERNAL_SHAPES = frozenset({
+    # tiny / tiny_v2 / small_v2 D-type stages (dims 64/128)
+    ("D", 3136, 64), ("D", 784, 128),
+    ("D2", 3136, 64), ("D2", 784, 128),
+    # small S-type stages
+    ("S", 196, 320), ("S", 49, 384),
+})
+
+
+def _cpe_in_kernel(attn_type: str, n: int, dim: int, env: str) -> bool:
+    import os
+    v = os.environ.get(env)
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return (attn_type, n, dim) not in _CPE_EXTERNAL_SHAPES
+
 
 class LeMeBlock(nn.Module):
     """One LeMeViT transformer block.
@@ -128,9 +155,8 @@ class LeMeBlock(nn.Module):
             if fused is not None:
                 return fused[0].reshape(b, h, w, ch), fused[1]
         if self.attn_type in ("D", "D2"):
-            # CPE fuses into the kernel when possible (PB_D_CPE=0 reverts
-            # to the external XLA dwconv; the old 2x A/B loss was fixed by
-            # the separable-accumulation _cpe_flat)
+            # CPE placement per measured shape table (_CPE_EXTERNAL_SHAPES;
+            # PB_D_CPE=0/1 forces external/in-kernel globally)
             fused = self._try_fused_dca(x.reshape(b, h * w, ch), c,
                                         deterministic, w, with_cpe=True)
             if fused is None:
@@ -171,8 +197,8 @@ class LeMeBlock(nn.Module):
                 c = self._residual_update(c, ac, None, deterministic)
         else:  # "S": self-attention applied separately to x AND c,
             # with the same (shared) attention + MLP weights (ref :615-650).
-            # CPE fuses into the kernel when possible (PB_S_CPE=0 reverts
-            # to the external XLA dwconv).
+            # CPE placement per measured shape table (_CPE_EXTERNAL_SHAPES;
+            # PB_S_CPE=0/1 forces external/in-kernel globally).
             fused = self._try_fused_s(x.reshape(b, h * w, ch), c,
                                       deterministic, w, with_cpe=True)
             if fused is None:
@@ -379,7 +405,8 @@ class LeMeBlock(nn.Module):
             v = self.variables["params"]
             dt = self.dtype
             if with_cpe:
-                if os.environ.get("PB_D_CPE", "1") == "0":
+                if not _cpe_in_kernel(self.attn_type, x.shape[1],
+                                      x.shape[2], "PB_D_CPE"):
                     return None
                 cpe = self._cpe_weights(v)  # LookupError -> fallback
             else:
@@ -471,7 +498,8 @@ class LeMeBlock(nn.Module):
             v = self.variables["params"]
             dt = self.dtype
             if with_cpe:
-                if os.environ.get("PB_S_CPE", "1") == "0":
+                if not _cpe_in_kernel("S", x.shape[1], x.shape[2],
+                                      "PB_S_CPE"):
                     return None
                 cpe = self._cpe_weights(v)  # LookupError -> fallback
             else:

@@ -423,3 +423,40 @@ def test_sdpa_bnhd_chunked_matches_plain():
     gc = jax.grad(loss_c)(q)
     gp = jax.grad(loss_p)(q)
     np.testing.assert_allclose(np.asarray(gc), np.asarray(gp), atol=1e-4)
+
+
+@pytest.mark.fast
+def test_cpe_placement_policy():
+    """Measured per-shape CPE placement table + env overrides
+    (models/lemevit.py::_cpe_in_kernel, r5 v5e sweep)."""
+    import os
+
+    from lemevit_tpu.models.lemevit import _cpe_in_kernel
+
+    for var in ("PB_D_CPE", "PB_S_CPE"):
+        assert os.environ.get(var) is None, f"{var} leaked into test env"
+    # tiny/tiny_v2/small_v2 D stages run external CPE; base D stages in-kernel
+    assert not _cpe_in_kernel("D", 3136, 64, "PB_D_CPE")
+    assert not _cpe_in_kernel("D2", 3136, 64, "PB_D_CPE")
+    assert not _cpe_in_kernel("D", 784, 128, "PB_D_CPE")
+    assert _cpe_in_kernel("D", 3136, 96, "PB_D_CPE")
+    assert _cpe_in_kernel("D", 784, 192, "PB_D_CPE")
+    # small S stages external; tiny/base S stages in-kernel
+    assert not _cpe_in_kernel("S", 196, 320, "PB_S_CPE")
+    assert not _cpe_in_kernel("S", 49, 384, "PB_S_CPE")
+    assert _cpe_in_kernel("S", 196, 192, "PB_S_CPE")
+    assert _cpe_in_kernel("S", 196, 384, "PB_S_CPE")
+    assert _cpe_in_kernel("S", 49, 512, "PB_S_CPE")
+    # seg/det-scale shapes are not in the table -> unchanged (in-kernel)
+    assert _cpe_in_kernel("D", 16384, 64, "PB_D_CPE")
+    # env force-override both ways
+    os.environ["PB_D_CPE"] = "1"
+    try:
+        assert _cpe_in_kernel("D", 3136, 64, "PB_D_CPE")
+    finally:
+        del os.environ["PB_D_CPE"]
+    os.environ["PB_S_CPE"] = "0"
+    try:
+        assert not _cpe_in_kernel("S", 49, 512, "PB_S_CPE")
+    finally:
+        del os.environ["PB_S_CPE"]
